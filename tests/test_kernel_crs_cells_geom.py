@@ -1,0 +1,298 @@
+"""CRS, cell-index, geometry and text kernel tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+from georeader_spark.kernels import cells, crs, geometry
+from georeader_spark.kernels import text as T
+
+
+def snyder_utm(lon, lat, zone):
+    """Independent Transverse Mercator (Snyder series) used as an oracle
+    for the Krüger-series implementation."""
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    lam0 = math.radians(zone * 6 - 183)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    Tt = math.tan(phi) ** 2
+    C = ep2 * math.cos(phi) ** 2
+    A = (lam - lam0) * math.cos(phi)
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+        - (35 * e2**3 / 3072) * math.sin(6 * phi)
+    )
+    x = k0 * N * (A + (1 - Tt + C) * A**3 / 6 + (5 - 18 * Tt + Tt**2 + 72 * C - 58 * ep2) * A**5 / 120) + 500000
+    y = k0 * (
+        M
+        + N * math.tan(phi) * (
+            A**2 / 2
+            + (5 - Tt + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * Tt + Tt**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    return x, y
+
+
+class TestCrs:
+    def test_compare_crs(self):
+        assert crs.compare_crs("EPSG:4326", "epsg:4326")
+        assert crs.compare_crs("+init=epsg:4326", "EPSG:4326")
+        assert not crs.compare_crs("EPSG:4326", "EPSG:32633")
+
+    def test_get_utm_epsg(self):
+        # reference docstring examples (__init__.py:85-97)
+        assert crs.get_utm_epsg(-3.7038, 40.4168) == "EPSG:32630"
+        assert crs.get_utm_epsg(151.2093, -33.8688) == "EPSG:32756"
+        assert crs.get_utm_epsg(-122.4194, 37.7749) == "EPSG:32610"
+
+    def test_utm_zone_epsg_np(self):
+        lon = np.array([-3.7038, 151.2093, -122.4194])
+        lat = np.array([40.4168, -33.8688, 37.7749])
+        assert crs.utm_zone_epsg_np(lon, lat).tolist() == [32630, 32756, 32610]
+
+    def test_mgrs(self):
+        assert crs.get_utm_from_mgrs_zone("30TYK") == (30, False)
+        assert crs.get_utm_from_mgrs_zone("56HLH") == (56, True)
+
+    def test_utm_vs_snyder(self):
+        rng = np.random.default_rng(42)
+        for _ in range(50):
+            lat = float(rng.uniform(-80, 80))
+            zone = int(rng.integers(1, 61))
+            lon = zone * 6 - 183 + float(rng.uniform(-2.9, 2.9))
+            xs, ys = snyder_utm(lon, lat, zone)
+            xk, yk = crs.wgs84_to_utm(lon, lat, zone, False)
+            assert float(xk) == pytest.approx(xs, abs=2e-3)
+            assert float(yk) == pytest.approx(ys, abs=2e-3)
+
+    def test_utm_roundtrip(self):
+        rng = np.random.default_rng(1)
+        lat = rng.uniform(-80, 80, 200)
+        zone = 31
+        lon = zone * 6 - 183 + rng.uniform(-3, 3, 200)
+        e, n = crs.wgs84_to_utm(lon, lat, zone, False)
+        lon2, lat2 = crs.utm_to_wgs84(e, n, zone, False)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_south_roundtrip(self):
+        e, n = crs.wgs84_to_utm(151.2093, -33.8688, 56, True)
+        assert n > 0
+        lon, lat = crs.utm_to_wgs84(e, n, 56, True)
+        assert float(lon) == pytest.approx(151.2093, abs=1e-9)
+        assert float(lat) == pytest.approx(-33.8688, abs=1e-9)
+
+    def test_distance_meters_madrid_barcelona(self):
+        # reference docstring: ~504 km (__init__.py:306-311)
+        d = crs.distance_meters(-3.7038, 40.4168, 2.1734, 41.3851)
+        assert 495_000 < d < 515_000
+
+    def test_distance_meters_1km(self):
+        d = crs.distance_meters(-3.7038, 40.4168, -3.6938, 40.4168)
+        assert d == pytest.approx(848, abs=5)  # 0.01 deg lon at 40.4 lat
+
+    def test_web_mercator(self):
+        x, y = crs.wgs84_to_web_mercator(180.0, 0.0)
+        assert float(x) == pytest.approx(20037508.342789244)
+        lon, lat = crs.web_mercator_to_wgs84(*crs.wgs84_to_web_mercator(-3.7, 40.4))
+        assert float(lon) == pytest.approx(-3.7)
+        assert float(lat) == pytest.approx(40.4)
+
+    def test_solar_offset(self):
+        # longitude * 240 s (query_utils.py:58-81: +lon*12/180 hours)
+        assert crs.solar_datetime_offset_seconds(180.0) == 43200
+        assert crs.solar_datetime_offset_seconds(-90.0) == -21600
+
+
+class TestCells:
+    def test_roundtrip(self):
+        c = cells.encode(-3.7, 40.4, 6)
+        r, x, y = cells.decode(c)
+        assert r == 6
+        assert cells.from_rxy(r, x, y) == c
+        b = cells.cell_bounds(c)
+        assert b[0] <= -3.7 <= b[2] and b[1] <= 40.4 <= b[3]
+
+    def test_parent_children(self):
+        c = cells.encode(10.0, 20.0, 8)
+        kids = cells.children(c)
+        assert len(kids) == 4
+        assert all(cells.parent(k) == c for k in kids)
+        assert cells.parent(c, 5) == cells.encode(10.0, 20.0, 5)
+
+    def test_ring_counts(self):
+        c = cells.encode(0.0, 0.0, 6)
+        assert len(cells.ring(c, 0)) == 1
+        assert len(cells.ring(c, 1)) == 9
+        assert len(cells.hollow_ring(c, 1)) == 8
+        assert len(cells.hollow_ring(c, 3)) == 24
+
+    def test_ring_wraps_antimeridian(self):
+        r = 4
+        nx, ny = 1 << (r + 1), 1 << r
+        c = cells.from_rxy(r, 0, ny // 2)
+        ring = cells.ring(c, 1)
+        xs = {cells.decode(cc)[1] for cc in ring}
+        assert nx - 1 in xs  # wrapped around
+
+    def test_ring_clamps_poles(self):
+        c = cells.from_rxy(4, 5, 0)
+        assert len(cells.ring(c, 1)) == 6  # top row clamped
+
+    def test_encode_np_matches_scalar(self):
+        rng = np.random.default_rng(2)
+        lon = rng.uniform(-180, 180, 1000)
+        lat = rng.uniform(-90, 90, 1000)
+        v = cells.encode_np(lon, lat, 7)
+        for i in range(0, 1000, 97):
+            assert int(v[i]) == cells.encode(lon[i], lat[i], 7)
+
+    def test_cover_bbox(self):
+        ids = cells.cover_bbox(-1.0, -1.0, 1.0, 1.0, 6)
+        assert len(ids) >= 4
+        for c in ids:
+            b = cells.cell_bounds(c)
+            assert b[0] <= 1.0 and b[2] >= -1.0 and b[1] <= 1.0 and b[3] >= -1.0
+
+    def test_xyz_tile(self):
+        # Madrid at z=12 (OSM slippy scheme)
+        assert cells.xyz_tile(-3.7038, 40.4168, 12) == (2005, 1544)
+        # z=0 is the whole world
+        assert cells.xyz_tile(-3.7038, 40.4168, 0) == (0, 0)
+
+    def test_xyz_tile_bounds(self):
+        left, bottom, right, top = cells.xyz_tile_bounds_mercator(0, 0, 0)
+        world = 2 * math.pi * 6378137.0
+        assert right - left == pytest.approx(world)
+        assert top - bottom == pytest.approx(world)
+
+
+class TestGeometry:
+    def test_pip_box(self):
+        ring = geometry.box_ring(0, 0, 10, 10)
+        got = geometry.points_in_polygon(
+            np.array([5.0, 15.0, -0.5]), np.array([5.0, 5.0, 5.0]), [ring]
+        )
+        assert got.tolist() == [True, False, False]
+
+    def test_pip_hole(self):
+        outer = geometry.box_ring(0, 0, 10, 10)
+        hole = geometry.box_ring(4, 4, 6, 6)
+        got = geometry.points_in_polygon(
+            np.array([5.0, 1.0]), np.array([5.0, 1.0]), [outer, hole]
+        )
+        assert got.tolist() == [False, True]
+
+    def test_pip_concave(self):
+        # L-shape
+        ring = np.array(
+            [[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], dtype=float
+        )
+        got = geometry.points_in_polygon(
+            np.array([2.0, 8.0, 8.0]), np.array([8.0, 2.0, 8.0]), [ring]
+        )
+        assert got.tolist() == [True, True, False]
+
+    def test_area(self):
+        assert geometry.ring_area(geometry.box_ring(0, 0, 10, 10)) == pytest.approx(100.0)
+        assert geometry.polygon_area(
+            [geometry.box_ring(0, 0, 10, 10), geometry.box_ring(4, 4, 6, 6)]
+        ) == pytest.approx(96.0)
+
+    def test_polygons_intersect(self):
+        a = [geometry.box_ring(0, 0, 10, 10)]
+        b = [geometry.box_ring(5, 5, 15, 15)]
+        c = [geometry.box_ring(20, 20, 30, 30)]
+        d = [geometry.box_ring(-5, 4, 15, 6)]  # crosses a without vertex containment
+        assert geometry.polygons_intersect(a, b)
+        assert not geometry.polygons_intersect(a, c)
+        assert geometry.polygons_intersect(a, d)
+
+    def test_wkb_roundtrip(self):
+        ring = geometry.box_ring(0, 0, 10, 10)
+        tri = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], dtype=float)
+        kind, poly = geometry.parse_wkb(geometry.wkb_polygon([ring, tri]))
+        assert kind == "polygon" and len(poly) == 2
+        np.testing.assert_allclose(poly[0], ring)
+        kind, polys = geometry.parse_wkb(geometry.wkb_multipolygon([[ring], [tri]]))
+        assert kind == "multipolygon" and len(polys) == 2
+        kind, pt = geometry.parse_wkb(geometry.wkb_point(1.5, -2.5))
+        assert kind == "point" and pt == (1.5, -2.5)
+
+    def test_bbox_index_matches_bruteforce(self):
+        rng = np.random.default_rng(42)
+        polys = []
+        for _ in range(30):
+            x0, y0 = rng.uniform(0, 90, 2)
+            polys.append([geometry.box_ring(x0, y0, x0 + rng.uniform(1, 15), y0 + rng.uniform(1, 15))])
+        idx = geometry.BBoxIndex(polys)
+        xs = rng.uniform(0, 100, 500)
+        ys = rng.uniform(0, 100, 500)
+        got = idx.query_points(xs, ys)
+        for i in range(500):
+            expect = [
+                j for j, p in enumerate(polys)
+                if geometry.points_in_polygon(xs[i : i + 1], ys[i : i + 1], p)[0]
+            ]
+            assert sorted(got[i]) == expect
+
+
+class TestText:
+    def test_extract_text(self):
+        html = b"<html><head><script>var x=1;</script><style>a{}</style></head>" \
+               b"<body><h1>Hello &amp; world</h1><p>a  b\nc &lt;tag&gt;</p></body></html>"
+        assert T.extract_text(html) == "Hello & world a b c <tag>"
+
+    def test_extract_text_deterministic(self):
+        html = "<p>café — résumé</p>".encode("utf-8")
+        assert T.extract_text(html) == T.extract_text(html) == "café — résumé"
+
+    def test_extract_geotag(self):
+        h = b'<meta name="geo.position" content="40.4168;-3.7038">'
+        assert T.extract_geotag(h) == (-3.7038, 40.4168)
+        assert T.extract_geotag(b"<p>no tag</p>") is None
+
+    def test_token_counts(self):
+        assert T.whitespace_token_count("a  b\tc\n") == 3
+        assert T.whitespace_token_count("") == 0
+        assert T.bpe_ish_token_count("hello world42!") == 4  # hello, world, 42, !
+
+    def test_shingles(self):
+        assert T.shingles("a b c d", 3) == ["a b c", "b c d"]
+        assert T.shingles("a b", 3) == ["a b"]
+        assert T.shingles("", 3) == []
+
+    def test_minhash_similar_docs_share_values(self):
+        a = T.minhash_signature("the quick brown fox jumps over the lazy dog today", 32)
+        b = T.minhash_signature("the quick brown fox jumps over the lazy dog tonight", 32)
+        c = T.minhash_signature("completely unrelated text about spark shuffle tuning", 32)
+        shared_ab = sum(1 for x, y in zip(a, b) if x == y)
+        shared_ac = sum(1 for x, y in zip(a, c) if x == y)
+        assert shared_ab > shared_ac
+        assert shared_ab >= 16  # ~78% true Jaccard
+
+    def test_simhash_locality(self):
+        s1 = T.simhash64("the quick brown fox jumps over the lazy dog " * 3)
+        s2 = T.simhash64("the quick brown fox jumps over the lazy cat " * 3)
+        s3 = T.simhash64("entirely different content with nothing shared at all")
+        assert T.hamming64(s1, s2) < T.hamming64(s1, s3)
+
+    def test_fingerprint_deterministic(self):
+        t = "some document text here for fingerprinting"
+        assert T.rolling_fingerprint(t) == T.rolling_fingerprint(t)
+        # min-of-windows: a shared substring can preserve the fingerprint,
+        # but disjoint documents should differ
+        assert T.rolling_fingerprint(t) != T.rolling_fingerprint("zzz entirely different zzz")
+
+    def test_quality_score_range(self):
+        for t in ["", "short", "the and of " * 50, "!!!???" * 20]:
+            assert 0.0 <= T.quality_score(t) <= 1.0

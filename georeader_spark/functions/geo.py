@@ -1,0 +1,215 @@
+"""JVM-side Column-expression builders for the geo function surface.
+
+Everything here compiles to built-in Spark SQL expressions — whole-stage
+codegen, no Python in the hot path. Each builder has a ``*_SQL``
+template sibling producing the *identical arithmetic* as an ANSI SQL
+string for the DuckDB oracle, so the correctness gate exercises the
+exact expressions the engine runs at scale.
+
+Reference semantics re-expressed:
+- cell encode     — H3-analog GridCell (kernels/cells.py design)
+- xyz tile        — /root/reference/georeader/read.py:437-491
+- utm epsg        — /root/reference/georeader/__init__.py:63-127
+- solar datetime  — /root/reference/georeader/readers/query_utils.py:58-81
+- haversine       — SQL-expressible distance used by oracle-gated kNN
+- window/tile assignment — window_from_bounds + round_outer_window
+  (/root/reference/georeader/read.py:316-367, window_utils.py:532-591)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernels.affine import Affine
+
+R_SHIFT = 18014398509481984  # 2**54
+Y_SHIFT = 134217728  # 2**27
+
+
+# ---------------------------------------------------------------------------
+# GridCell encode / decode / parent — pure integer arithmetic
+# ---------------------------------------------------------------------------
+
+def cell_encode(lon: Column, lat: Column, r: int) -> Column:
+    """GridCell id at resolution r. Mirrors kernels.cells.encode."""
+    nx = 1 << (r + 1)
+    ny = 1 << r
+    x = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nx)), F.lit(0)),
+        F.lit(nx - 1),
+    ).cast("long")
+    y = F.least(
+        F.greatest(F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(ny)), F.lit(0)),
+        F.lit(ny - 1),
+    ).cast("long")
+    return (F.lit(r).cast("long") * F.lit(R_SHIFT) + y * F.lit(Y_SHIFT) + x).alias("cell")
+
+
+def cell_encode_sql(lon: str, lat: str, r: int) -> str:
+    """Same arithmetic as :func:`cell_encode`, as ANSI SQL (DuckDB oracle)."""
+    nx = 1 << (r + 1)
+    ny = 1 << r
+    x = f"LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {nx}), 0), {nx - 1})"
+    y = f"LEAST(GREATEST(FLOOR((90.0 - {lat}) / 180.0 * {ny}), 0), {ny - 1})"
+    return (
+        f"(CAST({r} AS BIGINT) * {R_SHIFT} + CAST({y} AS BIGINT) * {Y_SHIFT} "
+        f"+ CAST({x} AS BIGINT))"
+    )
+
+
+def cell_x(cell: Column) -> Column:
+    return cell % F.lit(Y_SHIFT)
+
+
+def cell_y(cell: Column) -> Column:
+    return (cell % F.lit(R_SHIFT)) / F.lit(Y_SHIFT)
+
+
+def cell_parent(cell: Column, r: int, r_parent: int) -> Column:
+    """Parent cell id: shift x/y right by (r - r_parent). Pure integer
+    division so the identical expression runs in DuckDB."""
+    shift = r - r_parent
+    d = 1 << shift
+    x = cell % F.lit(Y_SHIFT)
+    y = F.floor((cell % F.lit(R_SHIFT)) / F.lit(Y_SHIFT)).cast("long")
+    return (
+        F.lit(r_parent).cast("long") * F.lit(R_SHIFT)
+        + F.floor(y / F.lit(d)).cast("long") * F.lit(Y_SHIFT)
+        + F.floor(x / F.lit(d)).cast("long")
+    )
+
+
+def cell_parent_sql(cell: str, r: int, r_parent: int) -> str:
+    d = 1 << (r - r_parent)
+    x = f"({cell} % {Y_SHIFT})"
+    y = f"FLOOR(({cell} % {R_SHIFT}) / {Y_SHIFT})"
+    return (
+        f"(CAST({r_parent} AS BIGINT) * {R_SHIFT} + CAST(FLOOR({y} / {d}) AS BIGINT) * {Y_SHIFT} "
+        f"+ CAST(FLOOR({x} / {d}) AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# XYZ web-mercator tiles (slippy scheme, read.py:437-491)
+# ---------------------------------------------------------------------------
+
+def xyz_tile_x(lon: Column, z: int) -> Column:
+    n = 1 << z
+    return F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+
+
+def xyz_tile_y(lat: Column, z: int) -> Column:
+    n = 1 << z
+    lat_rad = F.radians(lat)
+    merc = F.asinh(F.tan(lat_rad))
+    y = F.floor((F.lit(1.0) - merc / F.lit(float(__import__("math").pi))) / F.lit(2.0) * F.lit(n))
+    return F.least(F.greatest(y, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def xyz_tile_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
+    import math
+
+    n = 1 << z
+    x = f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    y = (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - ASINH(TAN(RADIANS({lat}))) / {math.pi!r}) "
+        f"/ 2.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# UTM zone (pure arithmetic — __init__.py:63-127)
+# ---------------------------------------------------------------------------
+
+def utm_epsg(lon: Column, lat: Column) -> Column:
+    zone = (F.floor((lon + F.lit(180.0)) / F.lit(6.0)).cast("long") % F.lit(60)) + F.lit(1)
+    base = F.when(lat >= F.lit(0.0), F.lit(32600)).otherwise(F.lit(32700))
+    return (base + zone).cast("int")
+
+
+def utm_epsg_sql(lon: str, lat: str) -> str:
+    zone = f"((CAST(FLOOR(({lon} + 180.0) / 6.0) AS BIGINT) % 60) + 1)"
+    return f"CAST((CASE WHEN {lat} >= 0.0 THEN 32600 ELSE 32700 END) + {zone} AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# Solar time (query_utils.py:58-81): utc + lon * 240 seconds
+# ---------------------------------------------------------------------------
+
+def solar_day(ts: Column, lon: Column) -> Column:
+    offset = (lon * F.lit(240.0)).cast("long")
+    return F.to_date(F.timestamp_seconds(F.unix_timestamp(ts) + offset))
+
+
+def solar_day_sql(ts: str, lon: str) -> str:
+    return (
+        f"CAST(to_timestamp(CAST(epoch({ts}) AS BIGINT) "
+        f"+ CAST({lon} * 240.0 AS BIGINT)) AS DATE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haversine distance (same double math in both engines)
+# ---------------------------------------------------------------------------
+
+EARTH_R = 6371008.8
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    dlat = f"RADIANS({lat2} - {lat1})"
+    dlon = f"RADIANS({lon2} - {lon1})"
+    a = (
+        f"(POW(SIN({dlat} / 2), 2) + COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
+        f"* POW(SIN({dlon} / 2), 2))"
+    )
+    return f"(2.0 * {EARTH_R!r} * ASIN(SQRT({a})))"
+
+
+# ---------------------------------------------------------------------------
+# Window / tile assignment from a fixed grid spec
+# ---------------------------------------------------------------------------
+
+def pixel_col(transform: Affine, x: Column) -> Column:
+    """Fractional pixel column of geo x under a rectilinear transform:
+    (x - c) / a. Asserts rectilinearity (SURVEY.md §7.3 #5)."""
+    if not transform.is_rectilinear:
+        raise ValueError("SQL pixel math requires a rectilinear transform")
+    return (x - F.lit(transform.c)) / F.lit(transform.a)
+
+
+def pixel_row(transform: Affine, y: Column) -> Column:
+    if not transform.is_rectilinear:
+        raise ValueError("SQL pixel math requires a rectilinear transform")
+    return (y - F.lit(transform.f)) / F.lit(transform.e)
+
+
+def tile_index(px: Column, tile_size: int) -> Column:
+    """Pixel coordinate -> tile index (floor division)."""
+    return F.floor(px / F.lit(float(tile_size))).cast("long")
+
+
+def pixel_col_sql(transform: Affine, x: str) -> str:
+    return f"(({x} - {transform.c!r}) / {transform.a!r})"
+
+
+def pixel_row_sql(transform: Affine, y: str) -> str:
+    return f"(({y} - {transform.f!r}) / {transform.e!r})"
+
+
+def tile_index_sql(px: str, tile_size: int) -> str:
+    return f"CAST(FLOOR({px} / {float(tile_size)!r}) AS BIGINT)"

@@ -1,0 +1,256 @@
+"""Deduplication operators for web-scale corpora (task brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard; embedding near-dup lives in
+similarity.py).
+
+Scale notes (100 TB design):
+- exact dedup is one shuffle on a 16-byte key (md5), partial-agg
+  friendly; never shuffles document bodies — only (hash, id).
+- MinHash signatures are computed in one Arrow-batched pass; LSH bands
+  become ``(band_id, band_hash)`` keys — the self-join happens on
+  band buckets, so only near-duplicate candidates ever pair up.
+  Banding keeps the join fan-out bounded; hot buckets (boilerplate)
+  are capped with a per-bucket limit to avoid quadratic blowup.
+- SimHash joins on (band of bit-prefix) with Hamming refine.
+
+Engine-independence: all hashes derive from md5 (available in Spark,
+DuckDB, Python) so the DuckDB oracle can recompute identical
+signatures; see kernels/text.py.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..kernels import text as ktext
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by md5(text): returns one row per
+    duplicated hash with the canonical (min) id, member count and ids.
+    """
+    h = F.md5(F.col(text_col)).alias("text_md5")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus after exact dedup: keep the min-id row per md5(text)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures via Arrow-batched UDF
+    over the shared kernel (kernels/text.py minhash_signature)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: ktext.minhash_signature(t or "", num_perm, shingle_k)
+        )
+
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    num_perm rows split into ``bands`` bands of rows_per_band rows;
+    docs sharing any full band collide. ``bucket_cap`` guards against
+    boilerplate mega-buckets (the dropped mass is logged by the caller
+    via lineage metrics — no silent cap at scale without metrics).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
+    capped = banded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= bucket_cap
+    )
+    a = capped.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b = capped.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded blocking + Hamming
+    refine. With max_hamming < n_bands * 1 the pigeonhole principle
+    guarantees at least one identical 16-bit band per true pair when
+    max_hamming < n_bands, so blocking is lossless for small radii.
+    """
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        # map to signed int64 (Spark LongType): subtract 2^64 when >= 2^63
+        def f(t):
+            v = ktext.simhash64(t or "")
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return text.map(f)
+
+    sh = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    band_width = 64 // n_bands
+    mask = (1 << band_width) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        "band", "bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram (k-word shingle) Jaccard similarity pairs — fully
+    declarative (explode shingles -> equi-join -> count algebra):
+
+        J(a, b) = |A ∩ B| / (|A| + |B| - |A ∩ B|)
+
+    No UDF: shingle generation uses transform() over a split() array.
+    Quadratic in shingle-collision groups; intended for within-bucket
+    verification after LSH at scale (or small corpora directly).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # k-word shingles via transform over start indices
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    shingled = docs.select(
+        F.col(id_col), F.array_distinct(sh).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+    exploded = shingled.select(
+        id_col, "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = exploded.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

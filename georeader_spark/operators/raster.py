@@ -1,0 +1,250 @@
+"""Distributed raster operators over the long (pixel-row) schema.
+
+The reference's dense-array operators re-expressed relationally
+(SURVEY.md §1.3: tile-as-row / pixel-as-row): a raster is a DataFrame
+``(raster_id, band, row, col, value)`` plus a broadcastable grid-spec
+(crs, transform, shape, fill). At 100 TB the long schema is the
+SQL-visible view; the binary tile-blocked variant (reproject.py) holds
+payloads. Both share the same window/transform planning.
+
+Operators (reference file:line in each docstring):
+- grid algebra (add/sub/mul/compare)  geotensor.py:659-1219
+- validmask / fill semantics          geotensor.py:2046-2095
+- aligned-grid fast-path window read  read.py:1530-1547
+- nearest-neighbor reprojection as a *join*  read.py:1348-1674 (path ⑧
+  for Resampling.nearest degenerates to an index gather = equi-join)
+- spatial_mosaic first-valid-wins     mosaic.py:159-447
+- read_out_shape block-mean decimation rasterio_reader.py:1457-1557
+- per-band/per-tile reductions        geotensor.py:324-405
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..kernels.affine import Affine
+
+
+def synth_raster(
+    spark,
+    raster_id: int,
+    height: int,
+    width: int,
+    bands: int = 1,
+    mult: int = 2654435761,
+    mod: int = 10000,
+    fill_value: float = 0.0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic raster in long form: value =
+    pmod((band * H * W + row * W + col) * mult, mod) as double.
+    Pure expressions over range() — reproducible in DuckDB SQL for the
+    oracle, and scale-free."""
+    n = height * width * bands
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(0, n, 1, n_partitions)
+    idx = F.col("id")
+    band = F.floor(idx / F.lit(height * width)).cast("int")
+    rem = idx % F.lit(height * width)
+    return df.select(
+        F.lit(raster_id).alias("raster_id"),
+        band.alias("band"),
+        F.floor(rem / F.lit(width)).cast("long").alias("row"),
+        (rem % F.lit(width)).cast("long").alias("col"),
+        F.pmod(idx * F.lit(mult), F.lit(mod)).cast("double").alias("value"),
+    )
+
+
+def synth_raster_sql(
+    raster_id: int,
+    height: int,
+    width: int,
+    bands: int = 1,
+    mult: int = 2654435761,
+    mod: int = 10000,
+    range_fn: str = "range",
+) -> str:
+    """DuckDB CTE body generating the identical raster."""
+    n = height * width * bands
+    hw = height * width
+    return f"""
+        SELECT {raster_id} AS raster_id,
+               CAST(FLOOR(range / {hw}) AS INT) AS band,
+               CAST(FLOOR((range % {hw}) / {width}) AS BIGINT) AS row,
+               CAST((range % {hw}) % {width} AS BIGINT) AS col,
+               CAST(((range * {mult}) % {mod} + {mod}) % {mod} AS DOUBLE) AS value
+        FROM {range_fn}(0, {n})
+    """
+
+
+def grid_algebra(
+    a: DataFrame,
+    b: DataFrame,
+    op: str,
+    keys: tuple[str, ...] = ("band", "row", "col"),
+    fill_a: float = 0.0,
+    fill_b: float = 0.0,
+) -> DataFrame:
+    """Element-wise binary op on two same-grid rasters.
+
+    The reference *raises* unless ``same_extent`` (geotensor.py:720-728);
+    callers enforce that via plans/gridspec alignment before joining —
+    here the join on (band,row,col) is the distributed equivalent.
+    Outer-join + fill reproduces boundless semantics: missing pixels
+    take the raster's fill value (geotensor.py:2360-2373).
+    """
+    av = a.select(*keys, F.col("value").alias("va"))
+    bv = b.select(*keys, F.col("value").alias("vb"))
+    j = av.join(bv, list(keys), "full_outer").select(
+        *keys,
+        F.coalesce(F.col("va"), F.lit(fill_a)).alias("va"),
+        F.coalesce(F.col("vb"), F.lit(fill_b)).alias("vb"),
+    )
+    ops: dict[str, Column] = {
+        "add": F.col("va") + F.col("vb"),
+        "sub": F.col("va") - F.col("vb"),
+        "mul": F.col("va") * F.col("vb"),
+        "div": F.col("va") / F.col("vb"),
+        "eq": (F.col("va") == F.col("vb")).cast("int").cast("double"),
+        "lt": (F.col("va") < F.col("vb")).cast("int").cast("double"),
+        "ge": (F.col("va") >= F.col("vb")).cast("int").cast("double"),
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported op {op!r}")
+    return j.select(*keys, ops[op].alias("value"))
+
+
+def validmask(raster: DataFrame, fill_value: float = 0.0) -> DataFrame:
+    """Boolean mask of value != fill (geotensor.py:2046-2095)."""
+    return raster.withColumn("valid", F.col("value") != F.lit(fill_value))
+
+
+def window_read(
+    raster: DataFrame,
+    col_off: int,
+    row_off: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Aligned-grid fast-path read (read.py:1530-1547): when grids
+    match, "reprojection" is a pure filter + index shift — no resample
+    kernel, no shuffle (filter pushes to the scan)."""
+    return raster.where(
+        (F.col("row") >= row_off)
+        & (F.col("row") < row_off + height)
+        & (F.col("col") >= col_off)
+        & (F.col("col") < col_off + width)
+    ).select(
+        "raster_id",
+        "band",
+        (F.col("row") - F.lit(row_off)).alias("row"),
+        (F.col("col") - F.lit(col_off)).alias("col"),
+        "value",
+    )
+
+
+def reproject_nearest(
+    src: DataFrame,
+    src_transform: Affine,
+    dst_transform: Affine,
+    dst_height: int,
+    dst_width: int,
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Nearest-neighbor reprojection between rectilinear grids of the
+    same CRS as a *gather join* (the GLT pattern, griddata.py:473-618):
+
+    For each destination pixel, the source index is
+
+        src_col = floor((dst_x_center - src_c) / src_a)
+        src_row = floor((dst_y_center - src_f) / src_e)
+
+    computed as column expressions over a generated destination index
+    table, then an equi-join against the source pixels. Out-of-source
+    pixels take the fill value (np.full allocation, read.py:1579-1585).
+    Catalyst handles the join; no Python anywhere.
+    """
+    spark = src.sparkSession
+    n = dst_height * dst_width
+    dst = spark.range(0, n, 1, max(spark.sparkContext.defaultParallelism, 8)).select(
+        F.floor(F.col("id") / F.lit(dst_width)).cast("long").alias("row"),
+        (F.col("id") % F.lit(dst_width)).cast("long").alias("col"),
+    )
+    # destination pixel center in geo coords
+    dx = F.lit(dst_transform.c) + (F.col("col") + F.lit(0.5)) * F.lit(dst_transform.a)
+    dy = F.lit(dst_transform.f) + (F.col("row") + F.lit(0.5)) * F.lit(dst_transform.e)
+    s_col = F.floor((dx - F.lit(src_transform.c)) / F.lit(src_transform.a)).cast("long")
+    s_row = F.floor((dy - F.lit(src_transform.f)) / F.lit(src_transform.e)).cast("long")
+    dst_idx = dst.select(
+        F.col("row").alias("dst_row"),
+        F.col("col").alias("dst_col"),
+        s_row.alias("src_row"),
+        s_col.alias("src_col"),
+    )
+    out = dst_idx.join(
+        src.select(
+            F.col("band"),
+            F.col("row").alias("src_row"),
+            F.col("col").alias("src_col"),
+            F.col("value"),
+        ),
+        ["src_row", "src_col"],
+        "left",
+    )
+    return out.select(
+        F.coalesce(F.col("band"), F.lit(0)).alias("band"),
+        F.col("dst_row").alias("row"),
+        F.col("dst_col").alias("col"),
+        F.coalesce(F.col("value"), F.lit(fill_value)).alias("value"),
+    )
+
+
+def spatial_mosaic(
+    rasters: DataFrame,
+    priority_col: str = "raster_id",
+    fill_value: float = 0.0,
+    keys: tuple[str, ...] = ("band", "row", "col"),
+) -> DataFrame:
+    """First-valid-wins coalesce of overlapping rasters
+    (mosaic.py:159-447): per pixel, take the value of the
+    lowest-priority raster whose pixel is valid (!= fill).
+
+    Declarative form: filter invalid, min_by over priority per pixel —
+    one shuffle on the pixel key with partial aggregation; the
+    reference's early-exit (mosaic.py:443-444) is subsumed by the agg.
+    Total order on candidates = priority_col (SURVEY.md §7.3 #2).
+    """
+    valid = rasters.where(F.col("value") != F.lit(fill_value))
+    return valid.groupBy(*keys).agg(
+        F.min_by("value", F.col(priority_col)).alias("value"),
+        F.min(priority_col).alias("source_id"),
+    )
+
+
+def block_mean_downsample(
+    raster: DataFrame, factor: int, keys: tuple[str, ...] = ("band",)
+) -> DataFrame:
+    """read_out_shape analog (rasterio_reader.py:1457-1557): decimate
+    by block mean over factor x factor pixel groups — a pure groupBy
+    with partial agg (the overview/LOD path of SURVEY.md §4.1)."""
+    return (
+        raster.groupBy(
+            *keys,
+            F.floor(F.col("row") / F.lit(factor)).cast("long").alias("row"),
+            F.floor(F.col("col") / F.lit(factor)).cast("long").alias("col"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+
+
+def band_stats(raster: DataFrame) -> DataFrame:
+    """Per-band reductions (ufunc-reduction analog, geotensor.py:324-405)."""
+    return raster.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.round(F.sum("value"), 4).alias("sum"),
+    )

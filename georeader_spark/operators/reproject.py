@@ -1,0 +1,267 @@
+"""Tile-blocked reprojection/resampling — the "physical" kernels
+(SURVEY.md §2.10) on the binary-payload tile schema.
+
+Schema: one row per (raster_id, band, tile_row, tile_col) holding a
+float64 numpy tile serialized as bytes plus its window. This is the
+scale representation (tile-as-row, SURVEY.md §1.3); the long schema in
+raster.py is the SQL-visible twin.
+
+The reproject pipeline is the Spark re-expression of
+``read_reproject`` (/root/reference/georeader/read.py:1348-1674):
+
+①② grid-spec planning driver-side (plans/gridspec.py)
+③   aligned-grid no-op fast path — planner short-circuit
+⑦   the *halo gather join*: every source tile is mapped to each output
+    tile whose (padded) source footprint it intersects — a flatMap +
+    shuffle keyed by output tile (never point-to-point)
+⑧   per-output-tile pandas UDF assembling the source block
+    (get_slice_pad kernel) and resampling (nearest / bilinear pure
+    numpy; bool-threshold rule of read.py:1557-1567 honored by caller
+    casting)
+
+At 100 TB: the gather shuffle is the only wide dependency; its key is
+the output tile id, so output partitioning is perfect for the sink.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.affine import Affine
+from ..kernels.windows import Window, get_slice_pad, round_outer_window, window_from_bounds
+
+TILE = 128
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("raster_id", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("tile_row", LongType()),
+        StructField("tile_col", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def tile_blocked_from_long(
+    raster: DataFrame, height: int, width: int, tile: int = TILE
+) -> DataFrame:
+    """Long (band,row,col,value) -> tile-blocked binary rows via
+    grouped-map pandas UDF (dense assembly per tile)."""
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, trow, tcol = key
+        h = min(tile, height - trow * tile)
+        w = min(tile, width - tcol * tile)
+        block = np.zeros((h, w), dtype=np.float64)
+        r = pdf["row"].to_numpy() - trow * tile
+        c = pdf["col"].to_numpy() - tcol * tile
+        block[r, c] = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "raster_id": [raster_id],
+                "band": [band],
+                "tile_row": [trow],
+                "tile_col": [tcol],
+                "height": [h],
+                "width": [w],
+                "payload": [block.tobytes()],
+            }
+        )
+
+    keyed = raster.withColumns(
+        {
+            "tile_row": F.floor(F.col("row") / F.lit(tile)).cast("long"),
+            "tile_col": F.floor(F.col("col") / F.lit(tile)).cast("long"),
+        }
+    )
+    return keyed.groupBy("raster_id", "band", "tile_row", "tile_col").applyInPandas(
+        assemble, TILE_SCHEMA
+    )
+
+
+def tile_blocked_to_long(tiles: DataFrame, tile: int = TILE) -> DataFrame:
+    """Inverse of :func:`tile_blocked_from_long` (mapInPandas explode)."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                block = np.frombuffer(r["payload"], dtype=np.float64).reshape(
+                    r["height"], r["width"]
+                )
+                rr, cc = np.meshgrid(
+                    np.arange(r["height"]), np.arange(r["width"]), indexing="ij"
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "raster_id": r["raster_id"],
+                            "band": r["band"],
+                            "row": (r["tile_row"] * tile + rr.ravel()).astype("int64"),
+                            "col": (r["tile_col"] * tile + cc.ravel()).astype("int64"),
+                            "value": block.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    schema = "raster_id int, band int, row long, col long, value double"
+    return tiles.mapInPandas(explode, schema)
+
+
+def resample_tiles(
+    tiles: DataFrame,
+    src_transform: Affine,
+    src_shape: Tuple[int, int],
+    dst_transform: Affine,
+    dst_shape: Tuple[int, int],
+    method: str = "bilinear",
+    fill_value: float = 0.0,
+    tile: int = TILE,
+    halo: int = 3,
+) -> DataFrame:
+    """Reproject/resample tile-blocked raster onto a destination grid
+    (same CRS, rectilinear): the halo-gather join + per-output-tile warp
+    UDF. ``halo`` mirrors the reference's 3-px pad (read.py:1605-1607).
+    Output: tile-blocked rows on the destination grid.
+    """
+    spark = tiles.sparkSession
+    H_src, W_src = src_shape
+    H_dst, W_dst = dst_shape
+    n_trow = math.ceil(H_dst / tile)
+    n_tcol = math.ceil(W_dst / tile)
+
+    # --- plan: for each dst tile, the (rounded, haloed) src window and
+    # the src tile ids intersecting it; built driver-side (tile counts
+    # are ~shape/tile^2, tiny next to pixel counts), exploded to a
+    # DataFrame mapping (src_tile -> dst_tile): the gather join.
+    plan_rows = []
+    for trow in range(n_trow):
+        for tcol in range(n_tcol):
+            h = min(tile, H_dst - trow * tile)
+            w = min(tile, W_dst - tcol * tile)
+            x0, y0 = dst_transform * (tcol * tile, trow * tile)
+            x1, y1 = dst_transform * (tcol * tile + w, trow * tile + h)
+            bounds = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+            src_w = round_outer_window(window_from_bounds(src_transform, bounds))
+            src_w = Window(
+                src_w.col_off - halo,
+                src_w.row_off - halo,
+                src_w.width + 2 * halo,
+                src_w.height + 2 * halo,
+            )
+            # intersecting source tiles (clamped to raster extent)
+            sr0 = max(int(src_w.row_off) // tile, 0)
+            sr1 = min((int(src_w.row_end) - 1) // tile, (H_src - 1) // tile)
+            sc0 = max(int(src_w.col_off) // tile, 0)
+            sc1 = min((int(src_w.col_end) - 1) // tile, (W_src - 1) // tile)
+            for sr in range(sr0, sr1 + 1):
+                for sc in range(sc0, sc1 + 1):
+                    plan_rows.append(
+                        (
+                            trow, tcol, h, w,
+                            int(src_w.col_off), int(src_w.row_off),
+                            int(src_w.width), int(src_w.height),
+                            sr, sc,
+                        )
+                    )
+    plan = spark.createDataFrame(
+        plan_rows,
+        "dst_trow long, dst_tcol long, dst_h int, dst_w int, "
+        "src_col_off long, src_row_off long, src_w_width int, src_w_height int, "
+        "tile_row long, tile_col long",
+    )
+
+    gathered = tiles.join(F.broadcast(plan), ["tile_row", "tile_col"], "inner")
+
+    out_schema = TILE_SCHEMA
+
+    def warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, dst_trow, dst_tcol = key
+        r0 = pdf.iloc[0]
+        dst_h, dst_w = int(r0["dst_h"]), int(r0["dst_w"])
+        sw = Window(
+            int(r0["src_col_off"]), int(r0["src_row_off"]),
+            int(r0["src_w_width"]), int(r0["src_w_height"]),
+        )
+        # assemble the padded source block (get_slice_pad kernel):
+        block = np.full((sw.height, sw.width), fill_value, dtype=np.float64)
+        for _, r in pdf.iterrows():
+            t = np.frombuffer(r["payload"], dtype=np.float64).reshape(
+                int(r["height"]), int(r["width"])
+            )
+            tw = Window(
+                int(r["tile_col"]) * tile, int(r["tile_row"]) * tile,
+                int(r["width"]), int(r["height"]),
+            )
+            if not tw.intersects(sw):
+                continue
+            sl, _pad = get_slice_pad(tw, sw)
+            # src-block coords of the copied region
+            y0 = max(tw.row_off, sw.row_off) - sw.row_off
+            x0 = max(tw.col_off, sw.col_off) - sw.col_off
+            sub = t[sl["y"].start - tw.row_off : sl["y"].stop - tw.row_off,
+                    sl["x"].start - tw.col_off : sl["x"].stop - tw.col_off]
+            block[y0 : y0 + sub.shape[0], x0 : x0 + sub.shape[1]] = sub
+
+        # dst pixel centers -> fractional src pixel coords
+        rows = np.arange(dst_trow * tile, dst_trow * tile + dst_h)
+        cols = np.arange(dst_tcol * tile, dst_tcol * tile + dst_w)
+        cc, rr = np.meshgrid(cols, rows)
+        gx = dst_transform.c + (cc + 0.5) * dst_transform.a
+        gy = dst_transform.f + (rr + 0.5) * dst_transform.e
+        fc = (gx - src_transform.c) / src_transform.a - sw.col_off
+        fr = (gy - src_transform.f) / src_transform.e - sw.row_off
+
+        if method == "nearest":
+            ic = np.clip(np.floor(fc).astype(np.int64), 0, sw.width - 1)
+            ir = np.clip(np.floor(fr).astype(np.int64), 0, sw.height - 1)
+            out = block[ir, ic]
+        elif method == "bilinear":
+            fc2 = fc - 0.5
+            fr2 = fr - 0.5
+            c0 = np.clip(np.floor(fc2).astype(np.int64), 0, sw.width - 2)
+            r0_ = np.clip(np.floor(fr2).astype(np.int64), 0, sw.height - 2)
+            wc = np.clip(fc2 - c0, 0.0, 1.0)
+            wr = np.clip(fr2 - r0_, 0.0, 1.0)
+            out = (
+                block[r0_, c0] * (1 - wr) * (1 - wc)
+                + block[r0_, c0 + 1] * (1 - wr) * wc
+                + block[r0_ + 1, c0] * wr * (1 - wc)
+                + block[r0_ + 1, c0 + 1] * wr * wc
+            )
+        else:
+            raise ValueError(f"unsupported method {method!r}")
+
+        return pd.DataFrame(
+            {
+                "raster_id": [raster_id],
+                "band": [band],
+                "tile_row": [dst_trow],
+                "tile_col": [dst_tcol],
+                "height": [dst_h],
+                "width": [dst_w],
+                "payload": [out.tobytes()],
+            }
+        )
+
+    return gathered.groupBy("raster_id", "band", "dst_trow", "dst_tcol").applyInPandas(
+        warp, out_schema
+    )

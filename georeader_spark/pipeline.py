@@ -1,0 +1,113 @@
+"""The flagship pages pipeline (north rule end-to-end, SURVEY.md §7.0):
+
+pages(url, warc_ts, html, text, lang)
+  ① extract  — html -> text (Arrow UDF, byte-identity enforced inline)
+               + geotag parse -> (lon, lat)
+  ② encode   — GridCell at r=7 (JVM expressions)
+  ③ PIP join — broadcast cover equi-join + vectorized refine
+  ④ tile     — window/tile assignment under the Europe grid spec
+  ⑤ metrics  — per-(cell, poly) counts (the cell-histogram metric)
+
+Scale shape: stage ① is one Arrow pass (the only Python); ②④ are
+codegen expressions; ③ joins against a broadcast relation (no shuffle
+of the pages side); ⑤ is a partial-agg groupBy — the only wide
+dependency in the whole pipeline, keyed by (cell, poly_id) whose
+cardinality is tiny next to the input. Hot geotag cells therefore skew
+only the *final* agg, which partial aggregation already flattens;
+plans/lineage.salt_for_skew handles operators where that is not true.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .functions.geo import cell_encode
+from .kernels import text as ktext
+from .operators.pip_join import boxes_to_polytable, pip_join
+from .operators.tiling import assign_points_to_tiles
+from .queries import CELL_R, PIP_BOXES, PIP_TRIS, TILE_SIZE, TILE_TRANSFORM
+from .sources.pages import pages as synth_pages
+
+_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("ext_text", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_SCHEMA)
+def extract_udf(html: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction: text + geotag in one pass over the
+    html bytes (kernels.text — the same module is the test oracle)."""
+    texts = []
+    lons = []
+    lats = []
+    for h in html:
+        b = bytes(h)
+        texts.append(ktext.extract_text(b))
+        tag = ktext.extract_geotag(b)
+        if tag is None:
+            lons.append(None)
+            lats.append(None)
+        else:
+            lons.append(tag[0])
+            lats.append(tag[1])
+    return pd.DataFrame({"ext_text": texts, "lon": lons, "lat": lats})
+
+
+def extract_stage(pages: DataFrame, check_invariant: bool = True) -> DataFrame:
+    """① html -> (ext_text, lon, lat). When ``check_invariant`` the
+    north-rule byte-identity (ext_text == text) is enforced as a filter
+    column so a violation is observable as a row-count drop (and
+    test-asserted to be zero)."""
+    out = pages.withColumn("_ext", extract_udf(F.col("html"))).select(
+        "*", "_ext.ext_text", "_ext.lon", "_ext.lat"
+    ).drop("_ext")
+    if check_invariant:
+        out = out.withColumn("text_ok", F.col("ext_text") == F.col("text"))
+    return out
+
+
+def pip_polytable():
+    polys = list(boxes_to_polytable(PIP_BOXES))
+    for tid, a, b, c in PIP_TRIS:
+        polys.append(
+            (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
+        )
+    return polys
+
+
+def pages_pipeline(
+    spark: SparkSession,
+    n_rows: int = 20000,
+    pages_df: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end: returns per-(cell, poly_id) page counts."""
+    pages = pages_df if pages_df is not None else synth_pages(spark, n_rows)
+    extracted = extract_stage(pages)
+    # invariant gate: rows failing byte-identity would fall out here —
+    # tests assert the count equals the input count
+    ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
+    encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
+    joined = pip_join(
+        encoded.select("url", "lon", "lat", "cell"), pip_polytable(), r=6
+    )
+    tiled = assign_points_to_tiles(
+        joined, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"
+    )
+    return (
+        tiled.groupBy("cell", "poly_id", "tile_row", "tile_col")
+        .agg(F.count("*").alias("n_pages"))
+    )

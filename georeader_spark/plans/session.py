@@ -1,0 +1,57 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Single place where shuffle/AQE/Arrow knobs are set so tests, bench and
+the driver entry all run the same configuration. The settings are
+chosen for the 100 TB design point and proxy-tested on local[N]:
+
+- AQE on (runtime re-plan, skew-join backstop to our explicit salting)
+- shuffle partitions sized to parallelism (driver may override)
+- Arrow batches sized for tile-blocked UDFs
+- broadcast threshold generous: every dimension/polygon side we join
+  is small by design (FIXTURES.md §2)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "georeader-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # 2x cores: keeps every core busy through stragglers without
+        # flooding the scheduler; on a real cluster this is set to
+        # ~2-3x total executor cores or left to AQE coalescing.
+        shuffle_partitions = 2 * cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

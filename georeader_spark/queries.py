@@ -1,0 +1,1026 @@
+"""The engine's query surface: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where expressible) an
+equivalent DuckDB ANSI-SQL oracle string over the same parquet views.
+
+Determinism rules that make cross-engine value-hash equality hold:
+- geo coordinates derive from table ids via *integer* modular
+  arithmetic, then one division — IEEE ops are bit-identical in any
+  engine; only transcendentals may differ by ulps (used only where a
+  final floor/round makes ulp noise irrelevant).
+- sums are taken over integer-valued doubles (exact in binary64 below
+  2^53) or through DECIMAL casts (money), never raw double sums.
+- ranks order by (rounded value, id) so last-ulp noise cannot flip
+  neighbors, and exact ties break identically.
+- polygon vertices sit OFF the 1e-3 coordinate lattice so boundary
+  points do not exist and strict/even-odd predicates agree.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import geo as G
+from .kernels.affine import Affine
+from .kernels import cells as kcells
+from .operators import dedup as D
+from .operators import raster as R
+from .operators import similarity as S
+from .operators import textstats as TS
+from .operators import tiling as TL
+from .operators.knn import knn_bruteforce, knn_ring
+from .operators.multimodal import media_features, synth_media
+from .operators.pip_join import boxes_to_polytable, pip_join
+from .operators.catalog import greedy_set_cover_dedup
+
+# ---------------------------------------------------------------------------
+# shared fixtures (identical literals on both engines)
+# ---------------------------------------------------------------------------
+
+CELL_R = 7
+ROLLUP_R = 4
+
+#: deterministic Europe-bbox points from event ids (lattice 1e-3 deg)
+LON_SQL = "(-10.0 + ((event_id * 48271) % 40000) / 1000.0)"
+LAT_SQL = "(35.0 + ((event_id * 69621) % 25000) / 1000.0)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon = F.lit(-10.0) + (F.col("event_id") * 48271 % 40000) / F.lit(1000.0)
+    lat = F.lit(35.0) + (F.col("event_id") * 69621 % 25000) / F.lit(1000.0)
+    return ev.select(
+        F.col("event_id"), F.col("ts"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+#: polygon fixture: 6 boxes + 2 triangles, vertices off the 1e-3 lattice
+PIP_BOXES = [
+    (1, -5.00053, 36.00047, 5.00031, 44.00029),
+    (2, 0.00017, 45.00041, 10.00023, 52.00037),
+    (3, 8.00011, 40.00013, 18.00043, 48.00019),
+    (4, -8.00059, 50.00021, 2.00049, 58.00057),
+    (5, 15.00029, 50.00033, 25.00047, 59.00011),
+    (6, 20.00013, 36.00037, 29.00041, 45.00023),
+]
+PIP_TRIS = [
+    (7, (-6.00043, 40.00021), (3.00037, 57.00013), (12.00029, 41.00047)),
+    (8, (10.00031, 37.00019), (26.00023, 39.00041), (18.00047, 55.00013)),
+]
+
+#: kNN query points (off-lattice) with their cos(lat) literals
+KNN_QUERIES = [
+    (0, -3.70391, 40.41681), (1, 2.35227, 48.85661), (2, 13.40501, 52.52003),
+    (3, -0.12771, 51.50741), (4, 12.49631, 41.90281), (5, -8.00011, 37.00017),
+    (6, 25.00023, 55.00031), (7, 4.90041, 52.37829), (8, 16.37251, 48.20831),
+    (9, -9.13931, 38.72231), (10, 21.01781, 52.22971), (11, 10.75221, 59.91391),
+    (12, 14.43781, 50.07551), (13, 23.72751, 37.98391), (14, 6.96031, 50.93751),
+    (15, -1.55361, 47.21841), (16, 19.04021, 47.49791), (17, 28.97951, 41.00821),
+    (18, -5.98441, 37.38911), (19, 11.58201, 48.13511),
+]
+KNN_K = 5
+
+#: grid specs for tiling / raster queries
+TILE_TRANSFORM = Affine.from_origin(-10.0, 60.0, 0.01, 0.01)  # Europe 1e-2 deg
+TILE_SIZE = 256
+
+SRC_T = Affine.from_origin(0.0, 100.0, 1.0, 1.0)       # raster B grid (FIXTURES §3)
+DST_T = Affine.from_origin(3.0, 97.0, 2.5, 2.5)        # warp-path dst grid
+RASTER_H, RASTER_W = 100, 120
+DST_H, DST_W = 40, 40
+
+
+def _tri_contains_sql(x: str, y: str, tri) -> str:
+    (x1, y1), (x2, y2), (x3, y3) = tri[1:]
+    d1 = f"(({x} - {x2!r}) * ({y1!r} - {y2!r}) - ({x1!r} - {x2!r}) * ({y} - {y2!r}))"
+    d2 = f"(({x} - {x3!r}) * ({y2!r} - {y3!r}) - ({x2!r} - {x3!r}) * ({y} - {y3!r}))"
+    d3 = f"(({x} - {x1!r}) * ({y3!r} - {y1!r}) - ({x3!r} - {x1!r}) * ({y} - {y1!r}))"
+    return (
+        f"((({d1} < 0) AND ({d2} < 0) AND ({d3} < 0)) OR "
+        f"(({d1} > 0) AND ({d2} > 0) AND ({d3} > 0)))"
+    )
+
+
+def _tri_contains_col(x, y, tri):
+    (x1, y1), (x2, y2), (x3, y3) = tri[1:]
+    d1 = (x - F.lit(x2)) * F.lit(y1 - y2) - F.lit(x1 - x2) * (y - F.lit(y2))
+    d2 = (x - F.lit(x3)) * F.lit(y2 - y3) - F.lit(x2 - x3) * (y - F.lit(y3))
+    d3 = (x - F.lit(x1)) * F.lit(y3 - y1) - F.lit(x3 - x1) * (y - F.lit(y1))
+    return ((d1 < 0) & (d2 < 0) & (d3 < 0)) | ((d1 > 0) & (d2 > 0) & (d3 > 0))
+
+
+# ===========================================================================
+# GEO: cell encode / rollup / PIP / kNN / tiles / windows / solar / utm / xyz
+# ===========================================================================
+
+def q_cell_count(spark, sf_dir):
+    """Per-cell page/point counts at CELL_R — the H3-encode + groupBy
+    stage of the north rule (SURVEY.md §7.0 stage 2 + metrics)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(G.cell_encode(F.col("lon"), F.col("lat"), CELL_R).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q_CELL_COUNT_SQL = f"""
+SELECT {G.cell_encode_sql(LON_SQL, LAT_SQL, CELL_R)} AS cell,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical rollup: r=7 cells -> r=4 parents (cell_to_parent
+    analog; LOD pruning of SURVEY.md §4.1)."""
+    pts = _points(spark, sf_dir)
+    cell = G.cell_encode(F.col("lon"), F.col("lat"), CELL_R)
+    parent = G.cell_parent(cell, CELL_R, ROLLUP_R)
+    return pts.select(parent.alias("cell_parent")).groupBy("cell_parent").agg(
+        F.count("*").alias("n")
+    )
+
+
+Q_CELL_ROLLUP_SQL = f"""
+SELECT {G.cell_parent_sql(G.cell_encode_sql(LON_SQL, LAT_SQL, CELL_R), CELL_R, ROLLUP_R)} AS cell_parent,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def q_pip_count(spark, sf_dir):
+    """PIP join (filter-and-refine, pandas-UDF refine) -> per-polygon
+    counts. Exercises operators/pip_join.py end-to-end."""
+    pts = _points(spark, sf_dir)
+    polys = boxes_to_polytable(PIP_BOXES)
+    import numpy as np
+
+    from .kernels import geometry as kg
+
+    tri_polys = [
+        (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
+        for tid, a, b, c in PIP_TRIS
+    ]
+    joined = pip_join(pts, list(polys) + tri_polys, r=6)
+    return joined.groupBy("poly_id").agg(F.count("*").alias("n")).select(
+        F.col("poly_id").cast("int").alias("poly_id"), "n"
+    )
+
+
+def _pip_sql_body() -> str:
+    box_rows = ", ".join(f"({p}, {x0!r}, {y0!r}, {x1!r}, {y1!r})" for p, x0, y0, x1, y1 in PIP_BOXES)
+    tri_cases = "\nUNION ALL\n".join(
+        f"SELECT p.event_id, {t[0]} AS poly_id FROM pts p WHERE "
+        + _tri_contains_sql("p.lon", "p.lat", t)
+        for t in PIP_TRIS
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), boxes(poly_id, x0, y0, x1, y1) AS (VALUES {box_rows}),
+matches AS (
+  SELECT p.event_id, b.poly_id
+  FROM pts p JOIN boxes b
+    ON p.lon > b.x0 AND p.lon < b.x1 AND p.lat > b.y0 AND p.lat < b.y1
+  UNION ALL
+  {tri_cases}
+)
+"""
+
+
+Q_PIP_COUNT_SQL = _pip_sql_body() + """
+SELECT CAST(poly_id AS INT) AS poly_id, COUNT(*) AS n FROM matches GROUP BY 1
+"""
+
+
+def q_pip_rows(spark, sf_dir):
+    """Full PIP join rows (event_id, poly_id) — 'identical join output
+    rows' gate of the north rule."""
+    pts = _points(spark, sf_dir)
+    import numpy as np
+
+    polys = boxes_to_polytable(PIP_BOXES)
+    tri_polys = [
+        (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
+        for tid, a, b, c in PIP_TRIS
+    ]
+    joined = pip_join(pts, list(polys) + tri_polys, r=6)
+    return joined.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("poly_id").cast("int").alias("poly_id"),
+    )
+
+
+Q_PIP_ROWS_SQL = _pip_sql_body() + """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(poly_id AS INT) AS poly_id FROM matches
+"""
+
+
+def _planar_d2(lon, lat, q_lon: float, q_lat: float) -> any:
+    """Squared planar (equirect) degree distance with a per-query
+    cos(lat) literal — pure IEEE arithmetic, bit-identical anywhere."""
+    coslat = math.cos(math.radians(q_lat))
+    dlat = lat - F.lit(q_lat)
+    dlon = (lon - F.lit(q_lon)) * F.lit(coslat)
+    return dlat * dlat + dlon * dlon
+
+
+def _planar_d2_sql(lon: str, lat: str, q_lon: float, q_lat: float) -> str:
+    coslat = math.cos(math.radians(q_lat))
+    return (
+        f"(({lat} - {q_lat!r}) * ({lat} - {q_lat!r}) + "
+        f"(({lon} - {q_lon!r}) * {coslat!r}) * (({lon} - {q_lon!r}) * {coslat!r}))"
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact kNN (k=5) of 20 fixed query points over the events points:
+    broadcast cross join + rank (the SQL-oracle-able baseline)."""
+    pts = _points(spark, sf_dir)
+    qrows = [(q, lon, lat) for q, lon, lat in KNN_QUERIES]
+    qdf = spark.createDataFrame(qrows, "q_id int, q_lon double, q_lat double")
+    pairs = pts.crossJoin(F.broadcast(qdf))
+    # per-query cos literal via a CASE chain keeps arithmetic identical
+    d2 = F.lit(None).cast("double")
+    expr = None
+    for q, qlon, qlat in KNN_QUERIES:
+        this = _planar_d2(F.col("lon"), F.col("lat"), qlon, qlat)
+        expr = F.when(F.col("q_id") == q, this) if expr is None else expr.when(
+            F.col("q_id") == q, this
+        )
+    w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
+    return (
+        pairs.withColumn("d2", expr)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("event_id").alias("point_id"), "rank")
+    )
+
+
+def _knn_sql() -> str:
+    d2_cases = " ".join(
+        f"WHEN {q} THEN {_planar_d2_sql('p.lon', 'p.lat', qlon, qlat)}"
+        for q, qlon, qlat in KNN_QUERIES
+    )
+    q_rows = ", ".join(f"({q})" for q, _, _ in KNN_QUERIES)
+    return f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), qs(q_id) AS (VALUES {q_rows}),
+pairs AS (
+  SELECT qs.q_id, p.event_id,
+         CASE qs.q_id {d2_cases} END AS d2
+  FROM pts p CROSS JOIN qs
+),
+ranked AS (
+  SELECT q_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, event_id ASC) AS rank
+  FROM pairs
+)
+SELECT CAST(q_id AS INT) AS q_id, CAST(event_id AS BIGINT) AS point_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+Q_KNN_SQL = _knn_sql()
+
+
+def q_knn_ring(spark, sf_dir):
+    """Ring-expansion kNN (the scale path): candidates only from cells
+    within the expanding Chebyshev ring of each query's cell; guaranteed
+    exact by the ring distance bound — must equal the brute-force oracle
+    (same SQL as q_knn_bruteforce)."""
+    pts = _points(spark, sf_dir)
+    r = 6
+    pts_c = pts.withColumn("cell", G.cell_encode(F.col("lon"), F.col("lat"), r))
+    _, cell_h = kcells.cell_size_deg(r)
+
+    results = None
+    pending = list(KNN_QUERIES)
+    k_ring = 1
+    for _round in range(6):
+        if not pending:
+            break
+        rows = []
+        for q, qlon, qlat in pending:
+            qcell = kcells.encode(qlon, qlat, r)
+            for c in kcells.ring(qcell, k_ring):
+                rows.append((q, c))
+        ring_df = spark.createDataFrame(rows, "q_id int, cell long")
+        cand = pts_c.join(F.broadcast(ring_df), "cell")
+        expr = None
+        for q, qlon, qlat in KNN_QUERIES:
+            this = _planar_d2(F.col("lon"), F.col("lat"), qlon, qlat)
+            expr = F.when(F.col("q_id") == q, this) if expr is None else expr.when(
+                F.col("q_id") == q, this
+            )
+        w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
+        ranked = (
+            cand.withColumn("d2", expr)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= KNN_K)
+        )
+        # guarantee in *planar degree* metric: any point outside ring
+        # k_ring is >= k_ring * cell_h degrees away in lat, or
+        # k_ring * cell_h * cos(lat_range) in weighted lon
+        got = (
+            ranked.groupBy("q_id")
+            .agg(F.count("*").alias("n"), F.max("d2").alias("d2max"))
+            .collect()
+        )
+        bounds = {}
+        for q, qlon, qlat in pending:
+            lat_max = min(89.9, abs(qlat) + (k_ring + 1) * cell_h)
+            cmin = max(math.cos(math.radians(lat_max)), 0.0)
+            b = k_ring * cell_h * cmin
+            bounds[q] = b * b
+        done = {
+            row["q_id"]
+            for row in got
+            if row["n"] >= KNN_K and row["d2max"] <= bounds.get(row["q_id"], 0.0)
+        }
+        part = ranked.where(F.col("q_id").isin(list(done)) if done else F.lit(False))
+        sel = part.select("q_id", F.col("event_id").alias("point_id"), "rank")
+        results = sel if results is None else results.unionByName(sel)
+        pending = [p for p in pending if p[0] not in done]
+        k_ring *= 2
+
+    if pending:
+        ids = [p[0] for p in pending]
+        bf = q_knn_bruteforce(spark, sf_dir).where(F.col("q_id").isin(ids))
+        results = bf if results is None else results.unionByName(bf)
+    return results
+
+
+def q_tile_assign(spark, sf_dir):
+    """window_from_bounds + floor tiling of points under the Europe
+    grid spec — 'identical tile assignments' gate."""
+    pts = _points(spark, sf_dir)
+    assigned = TL.assign_points_to_tiles(
+        pts, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"
+    )
+    return assigned.select(
+        "event_id", "pixel_col", "pixel_row", "tile_col", "tile_row"
+    )
+
+
+_tile_sql = TL.assign_points_to_tiles_sql(TILE_TRANSFORM, TILE_SIZE, "lon", "lat")
+Q_TILE_ASSIGN_SQL = f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+)
+SELECT event_id,
+       {_tile_sql['pixel_col']} AS pixel_col,
+       {_tile_sql['pixel_row']} AS pixel_row,
+       {_tile_sql['tile_col']} AS tile_col,
+       {_tile_sql['tile_row']} AS tile_row
+FROM pts
+"""
+
+
+def q_create_windows(spark, sf_dir):
+    """Declarative create_windows: (1000, 1200) grid, 256 tiles,
+    32 overlap, trimmed — slices.py:321-403 semantics."""
+    return TL.generate_tiles(
+        spark, (1000, 1200), (256, 256), overlap=(32, 32), trim_incomplete=True
+    )
+
+
+Q_CREATE_WINDOWS_SQL = TL.generate_tiles_sql(
+    (1000, 1200), (256, 256), overlap=(32, 32), trim_incomplete=True
+)
+
+
+def q_window_from_bounds(spark, sf_dir):
+    """Batch window_from_bounds + round_outer_window over bounds derived
+    from orders — the §3.1 read-planning pipeline as expressions."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    xmin = (F.col("o_orderkey") % 997).cast("double") * F.lit(0.37) - F.lit(10.0)
+    ymin = (F.col("o_orderkey") % 883).cast("double") * F.lit(0.29) + F.lit(35.0)
+    xmax = xmin + (F.col("o_orderkey") % 13).cast("double") * F.lit(0.11) + F.lit(0.05)
+    ymax = ymin + (F.col("o_orderkey") % 17).cast("double") * F.lit(0.07) + F.lit(0.05)
+    inv_a = 1.0 / TILE_TRANSFORM.a
+    # fractional window of the bounds under the tile grid
+    col_off = (xmin - F.lit(TILE_TRANSFORM.c)) / F.lit(TILE_TRANSFORM.a)
+    col_end = (xmax - F.lit(TILE_TRANSFORM.c)) / F.lit(TILE_TRANSFORM.a)
+    row_off = (ymax - F.lit(TILE_TRANSFORM.f)) / F.lit(TILE_TRANSFORM.e)
+    row_end = (ymin - F.lit(TILE_TRANSFORM.f)) / F.lit(TILE_TRANSFORM.e)
+    co, ro, w_, h_ = TL.round_outer_cols(col_off, row_off, col_end - col_off, row_end - row_off)
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        co.alias("col_off"), ro.alias("row_off"),
+        w_.alias("width"), h_.alias("height"),
+    )
+
+
+def _wfb_sql() -> str:
+    t = TILE_TRANSFORM
+    xmin = "((o_orderkey % 997) * 0.37 - 10.0)"
+    ymin = "((o_orderkey % 883) * 0.29 + 35.0)"
+    xmax = f"({xmin} + (o_orderkey % 13) * 0.11 + 0.05)"
+    ymax = f"({ymin} + (o_orderkey % 17) * 0.07 + 0.05)"
+    col_off = f"(({xmin} - {t.c!r}) / {t.a!r})"
+    col_end = f"(({xmax} - {t.c!r}) / {t.a!r})"
+    row_off = f"(({ymax} - {t.f!r}) / {t.e!r})"
+    row_end = f"(({ymin} - {t.f!r}) / {t.e!r})"
+    rr = TL.round_outer_sql(col_off, row_off, f"({col_end} - {col_off})", f"({row_end} - {row_off})")
+    return f"""
+SELECT o_orderkey AS id,
+       {rr['col_off']} AS col_off, {rr['row_off']} AS row_off,
+       {rr['width']} AS width, {rr['height']} AS height
+FROM orders
+"""
+
+
+Q_WINDOW_FROM_BOUNDS_SQL = _wfb_sql()
+
+
+def q_solarday(spark, sf_dir):
+    """Solar-day derivation + grouping (query_utils.py:58-81 + the
+    solarday dedup key of ee_query)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(G.solar_day(F.col("ts"), F.col("lon")).alias("solarday"))
+        .groupBy("solarday")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q_SOLARDAY_SQL = f"""
+SELECT {G.solar_day_sql('ts', LON_SQL)} AS solarday, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_utm_epsg(spark, sf_dir):
+    """UTM EPSG selection per point (get_utm_epsg, __init__.py:63-127)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(G.utm_epsg(F.col("lon"), F.col("lat")).alias("epsg"))
+        .groupBy("epsg")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q_UTM_EPSG_SQL = f"""
+SELECT {G.utm_epsg_sql(LON_SQL, LAT_SQL)} AS epsg, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_xyz_tiles(spark, sf_dir):
+    """XYZ slippy-tile assignment at z=9 (window_from_tile scheme,
+    read.py:437-491) — counts per tile."""
+    pts = _points(spark, sf_dir)
+    z = 9
+    return (
+        pts.select(
+            G.xyz_tile_x(F.col("lon"), z).alias("tx"),
+            G.xyz_tile_y(F.col("lat"), z).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_xyz_x, _xyz_y = G.xyz_tile_sql(LON_SQL, LAT_SQL, 9)
+Q_XYZ_TILES_SQL = f"""
+SELECT {_xyz_x} AS tx, {_xyz_y} AS ty, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+# ===========================================================================
+# RASTER: band stats / grid algebra / mosaic / reproject / window read / LOD
+# ===========================================================================
+
+def q_raster_band_stats(spark, sf_dir):
+    """Per-band reductions over a synthetic 3x100x120 raster (ufunc
+    reduction analog). Values are integer-valued doubles -> exact sums."""
+    r = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=3)
+    return R.band_stats(r)
+
+
+Q_RASTER_BAND_STATS_SQL = f"""
+WITH r AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=3)})
+SELECT band, COUNT(*) AS n, ROUND(AVG(value), 6) AS mean,
+       MIN(value) AS min, MAX(value) AS max, ROUND(SUM(value), 4) AS sum
+FROM r GROUP BY band
+"""
+
+
+def q_grid_algebra(spark, sf_dir):
+    """A - B element-wise on two same-grid rasters (binary grid algebra,
+    geotensor.py:659-949): a full-outer join on pixel keys with fill."""
+    a = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1, mult=2654435761)
+    b = R.synth_raster(spark, 2, RASTER_H, RASTER_W, bands=1, mult=997777777)
+    return R.grid_algebra(a, b, "sub")
+
+
+Q_GRID_ALGEBRA_SQL = f"""
+WITH a AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1, mult=2654435761)}),
+     b AS ({R.synth_raster_sql(2, RASTER_H, RASTER_W, bands=1, mult=997777777)})
+SELECT a.band, a.row, a.col, (a.value - b.value) AS value
+FROM a JOIN b USING (band, row, col)
+"""
+
+
+def q_mosaic(spark, sf_dir):
+    """spatial_mosaic first-valid-wins coalesce of 3 overlapping rasters
+    with gaps (mosaic.py:159-447): values < 2000 masked to invalid."""
+    parts = []
+    for rid, mult in [(1, 2654435761), (2, 997777777), (3, 523123123)]:
+        r = R.synth_raster(spark, rid, RASTER_H, RASTER_W, bands=1, mult=mult)
+        # gaps: mask low values to fill (deterministic holes)
+        r = r.withColumn(
+            "value", F.when(F.col("value") < 2000, F.lit(0.0)).otherwise(F.col("value"))
+        )
+        parts.append(r)
+    allr = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return R.spatial_mosaic(allr, priority_col="raster_id")
+
+
+def _mosaic_sql() -> str:
+    ctes = []
+    for rid, mult in [(1, 2654435761), (2, 997777777), (3, 523123123)]:
+        ctes.append(
+            f"r{rid} AS (SELECT raster_id, band, row, col, "
+            f"CASE WHEN value < 2000 THEN 0.0 ELSE value END AS value "
+            f"FROM ({R.synth_raster_sql(rid, RASTER_H, RASTER_W, bands=1, mult=mult)}))"
+        )
+    return f"""
+WITH {', '.join(ctes)},
+allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+valid AS (SELECT * FROM allr WHERE value != 0.0),
+ranked AS (
+  SELECT band, row, col, value, raster_id,
+         ROW_NUMBER() OVER (PARTITION BY band, row, col ORDER BY raster_id ASC) AS rn
+  FROM valid
+)
+SELECT band, row, col, value, CAST(raster_id AS INT) AS source_id
+FROM ranked WHERE rn = 1
+"""
+
+
+Q_MOSAIC_SQL = _mosaic_sql()
+
+
+def q_reproject_nearest(spark, sf_dir):
+    """Nearest-neighbor reprojection as a gather join (read_reproject
+    warp path for Resampling.nearest; GLT pattern griddata.py:473-618)."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1)
+    return R.reproject_nearest(src, SRC_T, DST_T, DST_H, DST_W)
+
+
+def _reproject_sql() -> str:
+    s, d = SRC_T, DST_T
+    dx = f"({d.c!r} + (col + 0.5) * {d.a!r})"
+    dy = f"({d.f!r} + (row + 0.5) * {d.e!r})"
+    s_col = f"CAST(FLOOR(({dx} - {s.c!r}) / {s.a!r}) AS BIGINT)"
+    s_row = f"CAST(FLOOR(({dy} - {s.f!r}) / {s.e!r}) AS BIGINT)"
+    return f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1)}),
+dst AS (
+  SELECT CAST(FLOOR(range / {DST_W}) AS BIGINT) AS row,
+         CAST(range % {DST_W} AS BIGINT) AS col
+  FROM range(0, {DST_H * DST_W})
+),
+idx AS (
+  SELECT row AS dst_row, col AS dst_col, {s_row} AS src_row, {s_col} AS src_col
+  FROM dst
+)
+SELECT COALESCE(src.band, 0) AS band, idx.dst_row AS row, idx.dst_col AS col,
+       COALESCE(src.value, 0.0) AS value
+FROM idx LEFT JOIN src ON src.row = idx.src_row AND src.col = idx.src_col
+"""
+
+
+Q_REPROJECT_NEAREST_SQL = _reproject_sql()
+
+
+def q_window_read(spark, sf_dir):
+    """Aligned-grid fast-path window read (read.py:1530-1547): filter +
+    index shift, no resample kernel."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1)
+    return R.window_read(src, col_off=20, row_off=10, width=50, height=40)
+
+
+Q_WINDOW_READ_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1)})
+SELECT raster_id, band, (row - 10) AS row, (col - 20) AS col, value
+FROM src
+WHERE row >= 10 AND row < 50 AND col >= 20 AND col < 70
+"""
+
+
+def q_downsample(spark, sf_dir):
+    """read_out_shape block-mean decimation by 4 (LOD/overview path,
+    rasterio_reader.py:1457-1557)."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1)
+    out = R.block_mean_downsample(src, 4)
+    return out.select("band", "row", "col", F.round("value", 6).alias("value"))
+
+
+Q_DOWNSAMPLE_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1)})
+SELECT band, CAST(FLOOR(row / 4) AS BIGINT) AS row,
+       CAST(FLOOR(col / 4) AS BIGINT) AS col,
+       ROUND(AVG(value), 6) AS value
+FROM src GROUP BY 1, 2, 3
+"""
+
+
+# ===========================================================================
+# TEXT / DEDUP / SIMILARITY (documents + embeddings tables)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5(text) (training-data op)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.exact_dedup(docs)
+    return out.select("text_md5", "canonical_id", "n_dups")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", TS.whitespace_token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+Q_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/punct/stopword quality heuristic (rounded 6dp)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(TS.quality_score_col(F.col("text")), 6).alias("quality")
+    )
+
+
+Q_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+         len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+         len(text) AS chars,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * LEAST(1.0, words / 100.0)
+           + 0.3 * (1.0 - punct / GREATEST(chars, 1))
+           + 0.3 * LEAST(1.0, 5.0 * sw / GREATEST(words, 1)), 6) AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic -> counts per language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(TS.lang_id_col(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_sql() -> str:
+    counts = []
+    for lang, markers in TS.LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS c_{lang}"
+        )
+    langs = list(TS.LANG_MARKERS)
+    case_parts = []
+    for i, lang in enumerate(langs):
+        rest = [f"c_{l}" for l in langs[i + 1 :]]
+        ge = f" AND c_{lang} >= GREATEST({', '.join(rest)})" if rest else ""
+        case_parts.append(f"WHEN c_{lang} >= 1{ge} THEN '{lang}'")
+    return rf"""
+WITH t AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), c AS (
+  SELECT {', '.join(counts)} FROM t
+)
+SELECT CASE {' '.join(case_parts)} ELSE 'und' END AS lang_pred, COUNT(*) AS n
+FROM c GROUP BY 1
+"""
+
+
+Q_LANG_ID_SQL = _lang_sql()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-word-shingle Jaccard near-dup pairs (threshold 0.4) over a
+    1-in-20 document sample — fully declarative (no UDF)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 20 == 0
+    )
+    return D.ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+Q_NGRAM_JACCARD_SQL = r"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(
+                       range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                       i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+           END) AS shingles
+  FROM docs
+), e AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+FROM inter
+WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (16 query vectors,
+    k=5): JVM-side dot products via aggregate(zip_with(...))."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        vecs.where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+    )
+    out = S.cosine_topk_bruteforce(vecs, queries, k=5)
+    return out.select("q_id", "vec_id", "rank")
+
+
+Q_ANN_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 16
+), pairs AS (
+  SELECT q.q_id, v.vec_id,
+         list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))) AS cos_sim
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (SQL-window
+    machinery the reference lacks, SURVEY.md §2.5)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS BIGINT) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+def q_top_events(spark, sf_dir):
+    """Top-3 events per user by value (rank/top-k surface)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+Q_TOP_EVENTS_SQL = """
+SELECT user_id, event_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (engine-shakeout; exact DECIMAL
+    sums cast back to double for cross-engine determinism)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_join_orders_nation(spark, sf_dir):
+    """Broadcast-dim join shakeout: order counts per nation."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q_JOIN_ORDERS_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# ===========================================================================
+# Non-SQL-expressible operators (rows-only driver check + pytest goldens)
+# ===========================================================================
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(16-perm, 4-band) LSH candidate pairs over a document
+    sample — md5-derived, engine-independent signatures (pytest golden
+    checks signatures against the single-process kernel)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 20 == 0
+    )
+    return D.minhash_lsh_pairs(docs, num_perm=16, bands=4)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 8, 4-band blocking) over a
+    document sample."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 20 == 0
+    )
+    return D.simhash_dedup_pairs(docs, max_hamming=8)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (recall measured vs brute force
+    in tests)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = vecs.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    queries = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.ann_topk_lsh(vecs, queries, k=5, dim=dim, n_planes=6)
+
+
+def q_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (Arrow UDF over the shared
+    kernel)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TS.fingerprint_udf_col(F.col("text")).alias("fp"))
+
+
+def q_set_cover_dedup(spark, sf_dir):
+    """Greedy set-cover dedup of synthetic per-day product footprints
+    (filter_products_overlap semantics, query_utils.py:46-55) via
+    groupBy().applyInPandas — sequential within group, parallel across
+    groups."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(2000)
+    products = o.select(
+        F.col("o_orderkey").alias("product_id"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("solarday"),
+        ((F.col("o_orderkey") % 7).cast("double") * 5.0 - 10.0).alias("xmin"),
+        ((F.col("o_orderkey") % 5).cast("double") * 5.0 + 35.0).alias("ymin"),
+        ((F.col("o_orderkey") % 7).cast("double") * 5.0 + 10.0).alias("xmax"),
+        ((F.col("o_orderkey") % 5).cast("double") * 5.0 + 48.0).alias("ymax"),
+    )
+    return greedy_set_cover_dedup(
+        products, aoi_bounds=(-10.0, 35.0, 30.0, 60.0), group_cols=["solarday"]
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: fake-decode + feature extraction over the
+    synthetic media table (decode stubbed — no codec libs here)."""
+    media = synth_media(spark, 2000)
+    return media_features(media)
+
+
+def q_pages_pipeline(spark, sf_dir):
+    """The flagship pages pipeline at small scale: synth pages ->
+    extract (UDF) -> geotag -> cell encode -> PIP join -> per-(cell,
+    poly) counts. Rows-only for the driver; every stage is separately
+    oracle- or golden-gated elsewhere."""
+    from .pipeline import pages_pipeline
+
+    return pages_pipeline(spark, n_rows=20000)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+#: name -> (query_fn, oracle_sql | None)
+REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "geo_cell_count": (q_cell_count, Q_CELL_COUNT_SQL),
+    "geo_cell_rollup": (q_cell_rollup, Q_CELL_ROLLUP_SQL),
+    "geo_pip_count": (q_pip_count, Q_PIP_COUNT_SQL),
+    "geo_pip_rows": (q_pip_rows, Q_PIP_ROWS_SQL),
+    "geo_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
+    "geo_knn_ring": (q_knn_ring, Q_KNN_SQL),
+    "geo_tile_assign": (q_tile_assign, Q_TILE_ASSIGN_SQL),
+    "geo_create_windows": (q_create_windows, Q_CREATE_WINDOWS_SQL),
+    "geo_window_from_bounds": (q_window_from_bounds, Q_WINDOW_FROM_BOUNDS_SQL),
+    "geo_solarday": (q_solarday, Q_SOLARDAY_SQL),
+    "geo_utm_epsg": (q_utm_epsg, Q_UTM_EPSG_SQL),
+    "geo_xyz_tiles": (q_xyz_tiles, Q_XYZ_TILES_SQL),
+    "raster_band_stats": (q_raster_band_stats, Q_RASTER_BAND_STATS_SQL),
+    "raster_grid_algebra": (q_grid_algebra, Q_GRID_ALGEBRA_SQL),
+    "raster_mosaic": (q_mosaic, Q_MOSAIC_SQL),
+    "raster_reproject_nearest": (q_reproject_nearest, Q_REPROJECT_NEAREST_SQL),
+    "raster_window_read": (q_window_read, Q_WINDOW_READ_SQL),
+    "raster_downsample": (q_downsample, Q_DOWNSAMPLE_SQL),
+    "text_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "text_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "text_quality_score": (q_quality_score, Q_QUALITY_SQL),
+    "text_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "text_ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
+    "events_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "events_topk": (q_top_events, Q_TOP_EVENTS_SQL),
+    "tpch_q1": (q_tpch_q1, Q_TPCH_Q1_SQL),
+    "join_orders_nation": (q_join_orders_nation, Q_JOIN_ORDERS_NATION_SQL),
+    # non-SQL-expressible (rows-only driver check; pytest goldens)
+    "text_minhash_lsh": (q_minhash_lsh_pairs, None),
+    "text_simhash_pairs": (q_simhash_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "text_fingerprints": (q_fingerprints, None),
+    "catalog_set_cover": (q_set_cover_dedup, None),
+    "media_features": (q_media_features, None),
+    "pages_pipeline": (q_pages_pipeline, None),
+}

@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB over the
+same parquet tables, compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(v)
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from georeader_spark.plans.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark("correctness", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        ok_count = len(s_rows) == len(d_rows)
+        sh = value_hash(s_rows, s_cols)
+        dh = value_hash(d_rows, d_cols)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: rows {len(s_rows)}/{len(d_rows)} "
+            f"cols={'ok' if ok_cols else (s_cols, d_cols)} hash={'ok' if ok_hash else 'MISMATCH'} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_hash and ok_count and ok_cols:
+                # show a few differing rows for debugging
+                s_set = {tuple(map(norm_cell, r)) for r in s_rows}
+                d_set = {tuple(map(norm_cell, r)) for r in d_rows}
+                print("   spark-only:", list(s_set - d_set)[:3])
+                print("   duck-only :", list(d_set - s_set)[:3])
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

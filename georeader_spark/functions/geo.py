@@ -115,8 +115,10 @@ def xyz_tile_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
 
     n = 1 << z
     x = f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    # asinh(tan r) == ln(tan r + 1/cos r); DuckDB 1.0 has no ASINH
+    merc = f"LN(TAN(RADIANS({lat})) + 1.0 / COS(RADIANS({lat})))"
     y = (
-        f"CAST(LEAST(GREATEST(FLOOR((1.0 - ASINH(TAN(RADIANS({lat}))) / {math.pi!r}) "
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / {math.pi!r}) "
         f"/ 2.0 * {n}), 0), {n - 1}) AS BIGINT)"
     )
     return x, y

@@ -64,6 +64,46 @@ def polygon_cover(
     return out
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    r = ring
+    if r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+        r = r[:-1]
+    n = len(r)
+    sign = 0
+    for i in range(n):
+        a, b, c = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if cross != 0:
+            s = 1 if cross > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def _convex_contains_expr(ring: np.ndarray, lon, lat):
+    """Strict-interior half-plane test for a convex ring as a pure
+    column expression (JVM codegen — no Python in the refine)."""
+    from pyspark.sql import functions as F
+
+    r = ring
+    if r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+        r = r[:-1]
+    n = len(r)
+    pos = None
+    neg = None
+    for i in range(n):
+        ax, ay = float(r[i][0]), float(r[i][1])
+        bx, by = float(r[(i + 1) % n][0]), float(r[(i + 1) % n][1])
+        cross = (F.lit(bx - ax)) * (lat - F.lit(ay)) - (F.lit(by - ay)) * (lon - F.lit(ax))
+        p = cross > 0
+        q = cross < 0
+        pos = p if pos is None else (pos & p)
+        neg = q if neg is None else (neg & q)
+    return pos | neg
+
+
 def pip_join(
     points: DataFrame,
     polygons: PolyTable,
@@ -71,15 +111,49 @@ def pip_join(
     lat_col: str = "lat",
     r: int = 7,
     how: str = "inner",
+    refine: str = "auto",
 ) -> DataFrame:
     """Join points to the polygons containing them.
 
     Returns ``points`` columns + ``poly_id``. ``how='inner'`` drops
     unmatched points (sjoin inner semantics, ee_query.py:434-446).
+
+    ``refine``: "exprs" runs the exact containment test as JVM half-
+    plane expressions (possible when every polygon is a single convex
+    ring — boxes/triangles); "udf" uses the Arrow-batched even-odd
+    kernel (any geometry); "auto" picks exprs when legal. Both paths
+    agree for interior points (the fixtures avoid boundaries).
     """
     spark = points.sparkSession
     cover = polygon_cover(polygons, r)
     cover_df = spark.createDataFrame(cover, "_cover_cell long, poly_id int")
+
+    all_convex = all(
+        len(mp) >= 1 and all(len(poly) == 1 and _is_convex(poly[0]) for poly in mp)
+        for _pid, mp in polygons
+    )
+    if refine == "auto":
+        refine = "exprs" if all_convex else "udf"
+    if refine == "exprs" and not all_convex:
+        raise ValueError("refine='exprs' requires single-ring convex polygons")
+
+    if refine == "exprs":
+        candidates = points.withColumn(
+            "_cover_cell", cell_encode(F.col(lon_col), F.col(lat_col), r)
+        ).join(F.broadcast(cover_df), "_cover_cell", "inner")
+        pred = None
+        lon_c, lat_c = F.col(lon_col), F.col(lat_col)
+        for pid, mp in polygons:
+            inside = None
+            for poly in mp:
+                e = _convex_contains_expr(poly[0], lon_c, lat_c)
+                inside = e if inside is None else (inside | e)
+            this = (F.col("poly_id") == int(pid)) & inside
+            pred = this if pred is None else (pred | this)
+        matched = candidates.where(pred).drop("_cover_cell")
+        if how == "inner":
+            return matched
+        raise ValueError(f"unsupported how={how!r}")
 
     # geometry broadcast once per executor for the refine UDF
     sc = spark.sparkContext

@@ -92,16 +92,28 @@ def rp_lsh_buckets(
     n_planes: int = 8,
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
+    n_tables: int = 1,
+    table_col: str = "lsh_table",
 ) -> DataFrame:
-    """Append a random-projection LSH bucket id (int: sign bits of the
-    n_planes dot products). JVM-side expressions only."""
-    planes = deterministic_hyperplanes(dim, n_planes)
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
-        d = _dot(F.col(vec_col), plane_arr)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return vectors.withColumn(bucket_col, bucket)
+    """Append random-projection LSH bucket ids (sign bits of the
+    n_planes dot products), exploded over ``n_tables`` independent
+    hash tables — multi-probe recall without touching the corpus twice
+    (one pass computes all tables' buckets). JVM-side expressions only.
+    """
+    out_rows = []
+    for t in range(n_tables):
+        planes = deterministic_hyperplanes(dim, n_planes * (t + 1))[n_planes * t :]
+        bucket = F.lit(0).cast("long")
+        for p, plane in enumerate(planes):
+            plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+            d = _dot(F.col(vec_col), plane_arr)
+            bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out_rows.append(F.struct(F.lit(t).alias(table_col), bucket.alias(bucket_col)))
+    if n_tables == 1:
+        return vectors.withColumn(bucket_col, out_rows[0][bucket_col])
+    return vectors.withColumn("_tb", F.explode(F.array(*out_rows))).select(
+        "*", f"_tb.{table_col}", f"_tb.{bucket_col}"
+    ).drop("_tb")
 
 
 def ann_topk_lsh(
@@ -110,18 +122,29 @@ def ann_topk_lsh(
     k: int,
     dim: int,
     n_planes: int = 8,
+    n_tables: int = 16,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
     q_id: str = "q_id",
     q_vec: str = "q_embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact rank within the query's LSH bucket.
-
-    Recall improves with fewer planes (bigger buckets); callers measure
-    recall against :func:`cosine_topk_bruteforce` (tests do)."""
-    v = rp_lsh_buckets(vectors, dim, n_planes, vec_col)
-    q = rp_lsh_buckets(queries, dim, n_planes, q_vec)
-    pairs = v.join(F.broadcast(q), "bucket").where(F.col(vec_id) != F.col(q_id))
+    """Approximate top-k: exact rank within the union of the query's
+    LSH buckets across ``n_tables`` tables (multi-table sign-LSH —
+    recall compounds as 1 - (1 - p)^L). Candidates dedup before the
+    exact cosine refine; recall is measured against
+    :func:`cosine_topk_bruteforce` in tests."""
+    v = rp_lsh_buckets(vectors, dim, n_planes, vec_col, n_tables=n_tables)
+    q = rp_lsh_buckets(queries, dim, n_planes, q_vec, n_tables=n_tables)
+    join_keys = ["bucket"] if n_tables == 1 else ["lsh_table", "bucket"]
+    cand = (
+        v.join(F.broadcast(q.select(*join_keys, q_id)), join_keys)
+        .where(F.col(vec_id) != F.col(q_id))
+        .select(q_id, vec_id, vec_col)
+        .distinct()
+    )
+    pairs = cand.join(
+        F.broadcast(queries.select(q_id, q_vec)), q_id
+    )
     cos = cosine_similarity_col(F.col(vec_col), F.col(q_vec))
     w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(vec_id).asc())
     return (
@@ -137,19 +160,23 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate (id_a < id_b, cos >= threshold) pairs within LSH
-    buckets — the embedding-cosine near-dup of the task brief."""
-    v = rp_lsh_buckets(vectors, dim, n_planes, vec_col)
+    buckets — the embedding-cosine near-dup of the task brief. High
+    thresholds collide reliably per table; ``n_tables`` compounds
+    recall for the tail."""
+    v = rp_lsh_buckets(vectors, dim, n_planes, vec_col, n_tables=n_tables)
+    keys = ["bucket"] if n_tables == 1 else ["lsh_table", "bucket"]
     a = v.select(
-        "bucket", F.col(vec_id).alias("id_a"), F.col(vec_col).alias("vec_a")
+        *keys, F.col(vec_id).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = v.select(
-        "bucket", F.col(vec_id).alias("id_b"), F.col(vec_col).alias("vec_b")
+        *keys, F.col(vec_id).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, keys).where(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
     return (
         pairs.withColumn("cos_sim", cos)

@@ -59,12 +59,51 @@ def stopword_ratio_col(text: Column) -> Column:
 
 def quality_score_col(text: Column) -> Column:
     """Quality heuristic matching kernels.text.quality_score:
-    0.4*min(1, words/100) + 0.3*(1 - punct_ratio) + 0.3*min(1, 5*sw_ratio)."""
+    0.4*min(1, words/100) + 0.3*(1 - punct_ratio) + 0.3*min(1, 5*sw_ratio).
+
+    NOTE: composing this as one Column duplicates the split()/filter()
+    subtrees, which Catalyst handles pathologically (minutes for 500
+    rows). Prefer :func:`quality_score_staged`, which projects each
+    intermediate once; this Column form is kept for API parity and
+    small expressions.
+    """
     words = whitespace_token_count_col(text)
     return (
         F.lit(0.4) * F.least(F.lit(1.0), words / F.lit(100.0))
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio_col(text))
         + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stopword_ratio_col(text))
+    )
+
+
+def quality_score_staged(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality score with intermediates projected once per stage (the
+    plan Catalyst should see): docs + ``quality`` column (unrounded)."""
+    t = F.col(text_col)
+    staged = docs.withColumns(
+        {
+            "_words": whitespace_token_count_col(t),
+            "_punct": F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")),
+            "_chars": F.length(t),
+            "_sw": F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(t)), r"\s+"),
+                    lambda x: x.isin("the", "and", "of", "a", "to"),
+                )
+            ),
+        }
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("_words") / F.lit(100.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.col("_punct") / F.greatest(F.col("_chars"), F.lit(1)))
+        + F.lit(0.3)
+        * F.least(
+            F.lit(1.0),
+            F.lit(5.0) * F.col("_sw") / F.greatest(F.col("_words"), F.lit(1)),
+        )
+    )
+    return staged.withColumn("quality", quality).drop(
+        "_words", "_punct", "_chars", "_sw"
     )
 
 
@@ -112,13 +151,15 @@ def fingerprint_udf_col(text: Column) -> Column:
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-stat columns."""
     t = F.col(text_col)
-    return docs.withColumns(
+    staged = quality_score_staged(docs, text_col).withColumn(
+        "quality", F.round(F.col("quality"), 6)
+    )
+    return staged.withColumns(
         {
             "n_tokens_ws": whitespace_token_count_col(t),
             "n_tokens_bpe": bpe_ish_token_count_col(t),
             "punct_ratio": F.round(punct_ratio_col(t), 6),
             "stopword_ratio": F.round(stopword_ratio_col(t), 6),
-            "quality": F.round(quality_score_col(t), 6),
             "lang_pred": lang_id_col(t),
         }
     )

@@ -67,14 +67,33 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"ext_text": texts, "lon": lons, "lat": lats})
 
 
-def extract_stage(pages: DataFrame, check_invariant: bool = True) -> DataFrame:
+def extract_stage(
+    pages: DataFrame, check_invariant: bool = True, jvm: bool = True
+) -> DataFrame:
     """① html -> (ext_text, lon, lat). When ``check_invariant`` the
     north-rule byte-identity (ext_text == text) is enforced as a filter
     column so a violation is observable as a row-count drop (and
-    test-asserted to be zero)."""
-    out = pages.withColumn("_ext", extract_udf(F.col("html"))).select(
-        "*", "_ext.ext_text", "_ext.lon", "_ext.lat"
-    ).drop("_ext")
+    test-asserted to be zero).
+
+    ``jvm=True`` (default) runs the extraction as built-in regexp
+    expressions (whole-stage codegen — "UDFs are the slow path");
+    ``jvm=False`` uses the Arrow-batched UDF over the shared kernel.
+    Both are byte-identity-tested against each other and the kernel.
+    """
+    if jvm:
+        from .functions.text_sql import extract_text_col, geotag_lat_col, geotag_lon_col
+
+        out = pages.withColumns(
+            {
+                "ext_text": extract_text_col(F.col("html")),
+                "lon": geotag_lon_col(F.col("html")),
+                "lat": geotag_lat_col(F.col("html")),
+            }
+        )
+    else:
+        out = pages.withColumn("_ext", extract_udf(F.col("html"))).select(
+            "*", "_ext.ext_text", "_ext.lon", "_ext.lat"
+        ).drop("_ext")
     if check_invariant:
         out = out.withColumn("text_ok", F.col("ext_text") == F.col("text"))
     return out
@@ -101,9 +120,18 @@ def pages_pipeline(
     # tests assert the count equals the input count
     ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
     encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
-    joined = pip_join(
-        encoded.select("url", "lon", "lat", "cell"), pip_polytable(), r=6
+    # Explicit round-robin repartition between extract and join:
+    # (a) the north rule's explicit repartitioning stage — balances the
+    #     skewed geotag distribution before downstream work;
+    # (b) an optimizer barrier: without it Catalyst substitutes the
+    #     whole regexp-extraction subtree into every one of the ~50
+    #     lon/lat references of the JVM PIP predicate and codegen blows
+    #     up (measured: minutes for 1000 rows). After the exchange,
+    #     lon/lat are plain attributes.
+    slim = encoded.select("url", "lon", "lat", "cell").repartition(
+        2 * spark.sparkContext.defaultParallelism
     )
+    joined = pip_join(slim, pip_polytable(), r=6)
     tiled = assign_points_to_tiles(
         joined, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"
     )

@@ -104,7 +104,13 @@ def plan_reproject(
         ):
             inv = ~src.transform
             c_off, r_off = inv * (dst.transform.c, dst.transform.f)
-            if _is_exact_round(c_off) and _is_exact_round(r_off):
+            # NB quirk not replicated: the reference gates this on
+            # _is_exact_round (3-decimal cleanliness, window_utils.py:
+            # 595-596), so a 10.37-px offset would take the "aligned"
+            # path and be floored — a half-pixel-wrong read. The stated
+            # intent (read.py:1523-1528 "integer pixel offset") is an
+            # integrality check; we implement the intent.
+            if abs(c_off - round(c_off)) < 1e-6 and abs(r_off - round(r_off)) < 1e-6:
                 fast = True
                 src_window = Window(
                     int(round(c_off)), int(round(r_off)), dst.width, dst.height

@@ -37,18 +37,31 @@ def get_spark(
         # ~2-3x total executor cores or left to AQE coalescing.
         shuffle_partitions = 2 * cpus
 
+    # Codegen-heavy workloads churn generated classes (AQE re-plans per
+    # execution); the JVM default 240 MB code cache fills and the JIT
+    # enters a compile storm (measured: 10-30s of compiler time per
+    # repeated identical query at local[32]). 1 GB cache stabilizes it
+    # — the standard Spark recommendation for long-running sessions.
+    java_opts = "-XX:ReservedCodeCacheSize=1g"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k rows/batch: with ~1 KB rows and N concurrent tasks in ONE
+        # local JVM, 64k-row batches thrash GC (measured 3-6x slowdowns
+        # at local[32] under an 8g heap); production executors have
+        # per-executor heaps so batch sizing is per-core there too
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task thread in the driver JVM: size the
+        # heap for cores * in-flight batch memory (128 GiB box)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

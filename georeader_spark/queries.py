@@ -167,7 +167,7 @@ def q_pip_count(spark, sf_dir):
         (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
         for tid, a, b, c in PIP_TRIS
     ]
-    joined = pip_join(pts, list(polys) + tri_polys, r=6)
+    joined = pip_join(pts, list(polys) + tri_polys, r=6, refine="udf")
     return joined.groupBy("poly_id").agg(F.count("*").alias("n")).select(
         F.col("poly_id").cast("int").alias("poly_id"), "n"
     )
@@ -210,7 +210,7 @@ def q_pip_rows(spark, sf_dir):
         (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
         for tid, a, b, c in PIP_TRIS
     ]
-    joined = pip_join(pts, list(polys) + tri_polys, r=6)
+    joined = pip_join(pts, list(polys) + tri_polys, r=6, refine="udf")
     return joined.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("poly_id").cast("int").alias("poly_id"),
@@ -220,6 +220,24 @@ def q_pip_rows(spark, sf_dir):
 Q_PIP_ROWS_SQL = _pip_sql_body() + """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(poly_id AS INT) AS poly_id FROM matches
 """
+
+
+def q_pip_rows_exprs(spark, sf_dir):
+    """Same PIP join through the JVM half-plane refine (convex fast
+    path, zero Python) — identical rows, same oracle as q_pip_rows."""
+    pts = _points(spark, sf_dir)
+    import numpy as np
+
+    polys = boxes_to_polytable(PIP_BOXES)
+    tri_polys = [
+        (tid, [[np.array([list(a), list(b), list(c), list(a)], dtype=float)]])
+        for tid, a, b, c in PIP_TRIS
+    ]
+    joined = pip_join(pts, list(polys) + tri_polys, r=6, refine="exprs")
+    return joined.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("poly_id").cast("int").alias("poly_id"),
+    )
 
 
 def _planar_d2(lon, lat, q_lon: float, q_lat: float) -> any:
@@ -673,8 +691,8 @@ FROM documents
 def q_quality_score(spark, sf_dir):
     """Length/punct/stopword quality heuristic (rounded 6dp)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id", F.round(TS.quality_score_col(F.col("text")), 6).alias("quality")
+    return TS.quality_score_staged(docs).select(
+        "doc_id", F.round(F.col("quality"), 6).alias("quality")
     )
 
 
@@ -734,17 +752,44 @@ FROM c GROUP BY 1
 Q_LANG_ID_SQL = _lang_sql()
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """3-word-shingle Jaccard near-dup pairs (threshold 0.4) over a
-    1-in-20 document sample — fully declarative (no UDF)."""
+def _augmented_docs(spark, sf_dir, modulo: int = 20) -> DataFrame:
+    """Near-dup test corpus: 1-in-``modulo`` documents plus a mutated
+    copy of each (last word dropped, id + 10_000_000) — guarantees true
+    near-duplicate pairs exist so dedup operators are meaningfully
+    exercised. The oracle builds the identical corpus in SQL."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") % 20 == 0
+        F.col("doc_id") % modulo == 0
     )
-    return D.ngram_jaccard_pairs(docs, threshold=0.4)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
 
 
-Q_NGRAM_JACCARD_SQL = r"""
-WITH docs AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+AUGMENTED_DOCS_SQL = r"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split_regex(trim(text), '\s+'), 1,
+                      GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-word-shingle Jaccard near-dup pairs (threshold 0.4) over the
+    augmented corpus — fully declarative (no UDF)."""
+    return D.ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), threshold=0.4)
+
+
+Q_NGRAM_JACCARD_SQL = rf"""
+WITH docs AS ({AUGMENTED_DOCS_SQL}),
 sh AS (
   SELECT doc_id,
          list_distinct(
@@ -908,22 +953,17 @@ GROUP BY 1
 # ===========================================================================
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash(16-perm, 4-band) LSH candidate pairs over a document
-    sample — md5-derived, engine-independent signatures (pytest golden
-    checks signatures against the single-process kernel)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") % 20 == 0
-    )
-    return D.minhash_lsh_pairs(docs, num_perm=16, bands=4)
+    """MinHash(16-perm, 4-band) LSH candidate pairs over the augmented
+    near-dup corpus — md5-derived, engine-independent signatures
+    (pytest golden checks signatures against the single-process
+    kernel)."""
+    return D.minhash_lsh_pairs(_augmented_docs(spark, sf_dir), num_perm=16, bands=4)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 8, 4-band blocking) over a
-    document sample."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") % 20 == 0
-    )
-    return D.simhash_dedup_pairs(docs, max_hamming=8)
+    """SimHash near-dup pairs (hamming <= 8, 4-band blocking) over the
+    augmented near-dup corpus."""
+    return D.simhash_dedup_pairs(_augmented_docs(spark, sf_dir), max_hamming=8)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -991,6 +1031,7 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "geo_cell_rollup": (q_cell_rollup, Q_CELL_ROLLUP_SQL),
     "geo_pip_count": (q_pip_count, Q_PIP_COUNT_SQL),
     "geo_pip_rows": (q_pip_rows, Q_PIP_ROWS_SQL),
+    "geo_pip_rows_exprs": (q_pip_rows_exprs, Q_PIP_ROWS_SQL),
     "geo_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "geo_knn_ring": (q_knn_ring, Q_KNN_SQL),
     "geo_tile_assign": (q_tile_assign, Q_TILE_ASSIGN_SQL),

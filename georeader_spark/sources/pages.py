@@ -141,7 +141,7 @@ def pages_with_truth(spark: SparkSession, n_rows: int, n_partitions: int | None 
         n_extra > 0, F.concat_ws(" ", title, h1, body1, body2)
     ).otherwise(F.concat_ws(" ", title, h1, body1))
 
-    return df.select(
+    out = df.select(
         url.alias("url"),
         warc_ts.alias("warc_ts"),
         F.encode(html, "UTF-8").alias("html"),
@@ -150,6 +150,16 @@ def pages_with_truth(spark: SparkSession, n_rows: int, n_partitions: int | None 
         lon.alias("lon"),
         lat.alias("lat"),
     )
+    # Lineage cut: the generator expression tree is ~30 KB and
+    # `html`/`text` share word subtrees; Catalyst's predicate pushdown
+    # substitutes the tree into every downstream filter reference (it
+    # pushes through Repartition barriers too) — measured: a 7 MB
+    # filter expression and unbounded codegen time in the extract
+    # stage. localCheckpoint severs the logical lineage so downstream
+    # plans see plain attributes. Values are unaffected (content is a
+    # pure function of id); production inputs are parquet scans, which
+    # have no such lineage — this is test/bench-generator plumbing only.
+    return out.localCheckpoint(eager=False)
 
 
 def pages(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:

@@ -1,0 +1,27 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from georeader_spark.plans.session import get_spark
+
+    s = get_spark(
+        "tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "4096"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

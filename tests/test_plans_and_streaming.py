@@ -1,0 +1,146 @@
+"""Physical-plan shape assertions (the 100 TB design checks) +
+streaming batch-parity test.
+
+These tests read .explain() output: at scale the difference between a
+broadcast hash join and a shuffle join, or between a pushed and
+unpushed filter, is the difference between a job that works and one
+that doesn't (task brief: "explain('formatted') the plan and iterate").
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_pip_join_is_broadcast(self, spark):
+        """The polygon-cover side must broadcast: shuffling the points
+        side on cell would move the whole corpus at scale."""
+        from georeader_spark.pipeline import pip_polytable
+        from georeader_spark.operators.pip_join import pip_join
+
+        pts = spark.range(1000).select(
+            F.col("id").alias("point_id"),
+            (F.col("id") % 40 - 10.0).cast("double").alias("lon"),
+            (F.col("id") % 25 + 35.0).cast("double").alias("lat"),
+        )
+        plan = _plan(pip_join(pts, pip_polytable(), r=6))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_parquet_filter_pushdown(self, spark, sf_dir):
+        """Predicates on the scan must reach parquet (PushedFilters)."""
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+            F.col("user_id") == 7
+        ).select("event_id")
+        plan = _plan(df)
+        assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
+        # column pruning: only the needed columns in ReadSchema
+        assert "ts" not in plan.split("ReadSchema")[1][:200]
+
+    def test_window_read_no_shuffle(self, spark):
+        """Aligned-grid fast-path read is a pure narrow plan: filter +
+        project, zero exchanges (read.py:1530-1547's '10-100x faster')."""
+        from georeader_spark.operators import raster as R
+
+        src = R.synth_raster(spark, 1, 100, 120)
+        plan = _plan(R.window_read(src, 10, 10, 50, 40))
+        assert "Exchange" not in plan
+
+    def test_cell_count_partial_agg(self, spark, sf_dir):
+        """groupBy(cell).count() must run map-side partial aggregation
+        (two HashAggregate nodes around one Exchange)."""
+        from georeader_spark.queries import q_cell_count
+
+        plan = _plan(q_cell_count(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("Exchange") <= 2  # partial->exchange->final (+AQE read)
+
+    def test_knn_bruteforce_broadcasts_queries(self, spark, sf_dir):
+        from georeader_spark.queries import q_knn_bruteforce
+
+        plan = _plan(q_knn_bruteforce(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_tile_assign_stays_codegen(self, spark, sf_dir):
+        """Tile assignment is pure expressions: whole-stage codegen, no
+        Python, no exchange."""
+        from georeader_spark.queries import q_tile_assign
+
+        df = q_tile_assign(spark, sf_dir)
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "*(1)" in plan  # whole-stage-codegen stage marker
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_mosaic_single_shuffle(self, spark):
+        """First-valid-wins mosaic = one shuffle on the pixel key with
+        partial agg (min_by), not a window-sort plan."""
+        from georeader_spark.operators import raster as R
+
+        a = R.synth_raster(spark, 1, 50, 60)
+        b = R.synth_raster(spark, 2, 50, 60, mult=997777777)
+        plan = _plan(R.spatial_mosaic(a.unionByName(b)))
+        # exactly one shuffle for the agg (AQE may add AQEShuffleRead)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Window" not in plan
+
+
+class TestStreaming:
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """AvailableNow drain of the streaming cell counts equals the
+        batch computation on the same input."""
+        from georeader_spark.functions.geo import cell_encode
+        from georeader_spark.pipeline import extract_stage
+        from georeader_spark.sources.pages import pages
+        from georeader_spark.streaming.cell_counts import (
+            run_available_now,
+            streaming_cell_counts,
+        )
+
+        src_dir = str(tmp_path / "pages")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        pdf = pages(spark, 2000)
+        pdf.write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = streaming_cell_counts(spark, src_dir, schema, r=7)
+        run_available_now(stream, out_dir, ckpt)
+        got = {
+            (r["day_start"], r["cell"]): r["n_pages"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+        batch = extract_stage(spark.read.parquet(src_dir)).where(
+            F.col("lon").isNotNull()
+        )
+        expect_df = (
+            batch.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), 7))
+            .groupBy(F.window("warc_ts", "1 day").alias("day"), "cell")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("day.start").alias("day_start"), "cell", "n")
+        )
+        expect = {(r["day_start"], r["cell"]): r["n"] for r in expect_df.collect()}
+        # append mode only emits windows the watermark has closed: the
+        # final (watermark + window) span of event time stays open at
+        # end-of-stream and is withheld — correct streaming semantics.
+        import datetime as dt
+
+        max_ts = max(k[0] for k in expect)
+        closed_cutoff = max_ts - dt.timedelta(days=3)
+        closed_expect = {k: v for k, v in expect.items() if k[0] <= closed_cutoff}
+        for k, v in closed_expect.items():
+            assert got.get(k) == v, k
+        for k in got:
+            assert expect.get(k) == got[k], k
+        assert len(got) >= len(closed_expect) > 0

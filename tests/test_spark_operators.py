@@ -1,0 +1,423 @@
+"""Operator correctness against single-process numpy oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georeader_spark.kernels import cells as kcells
+from georeader_spark.kernels import geometry as kgeom
+from georeader_spark.kernels import text as ktext
+from georeader_spark.kernels.affine import Affine
+from georeader_spark.kernels.slices import create_windows
+from georeader_spark.operators import raster as R
+from georeader_spark.operators import similarity as S
+from georeader_spark.operators.knn import knn_bruteforce, knn_ring
+from georeader_spark.operators.pip_join import boxes_to_polytable, pip_join, polygon_cover
+from georeader_spark.operators.reproject import (
+    resample_tiles,
+    tile_blocked_from_long,
+    tile_blocked_to_long,
+)
+from georeader_spark.operators.tiling import generate_tiles, stitch_core_regions
+
+
+def _rand_points(spark, n=2000, seed=7, bbox=(-10, 35, 30, 60)):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(bbox[0], bbox[2], n)
+    lat = rng.uniform(bbox[1], bbox[3], n)
+    rows = [(i, float(lon[i]), float(lat[i])) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "point_id long, lon double, lat double"),
+        lon,
+        lat,
+    )
+
+
+class TestPipJoin:
+    BOXES = [
+        (1, -5.0, 36.0, 5.0, 44.0),
+        (2, 0.0, 45.0, 10.0, 52.0),
+        (3, 8.0, 40.0, 18.0, 48.0),
+    ]
+
+    def test_matches_numpy_bruteforce(self, spark):
+        pts_df, lon, lat = _rand_points(spark)
+        polys = boxes_to_polytable(self.BOXES)
+        got = {
+            (r["point_id"], r["poly_id"])
+            for r in pip_join(pts_df, polys, r=6).collect()
+        }
+        expect = set()
+        for pid, mp in polys:
+            inside = np.zeros(len(lon), dtype=bool)
+            for poly in mp:
+                inside |= kgeom.points_in_polygon(lon, lat, poly)
+            expect |= {(i, pid) for i in np.nonzero(inside)[0]}
+        assert got == expect
+
+    def test_cover_is_superset(self):
+        polys = boxes_to_polytable(self.BOXES)
+        cover = polygon_cover(polys, r=6)
+        # every polygon's own bbox cells are present
+        for pid, mp in polys:
+            bb = kgeom.polygon_bbox(mp[0])
+            center_cell = kcells.encode((bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2, 6)
+            assert (center_cell, pid) in set(cover)
+
+    def test_concave_polygon(self, spark):
+        # L-shape: points in the notch must NOT match
+        ring = np.array(
+            [[0, 40], [10, 40], [10, 44], [4, 44], [4, 50], [0, 50], [0, 40]],
+            dtype=float,
+        )
+        polys = [(9, [[ring]])]
+        pts_df, lon, lat = _rand_points(spark, n=1000, seed=3)
+        got = {r["point_id"] for r in pip_join(pts_df, polys, r=6).collect()}
+        expect = set(np.nonzero(kgeom.points_in_polygon(lon, lat, [ring]))[0])
+        assert got == expect
+
+
+class TestKnn:
+    def test_ring_equals_bruteforce(self, spark):
+        pts_df, lon, lat = _rand_points(spark, n=3000, seed=11)
+        queries = [(0, -3.7, 40.4), (1, 2.35, 48.85), (2, 29.5, 59.5), (3, -9.9, 35.1)]
+        qdf = spark.createDataFrame(queries, "q_id long, q_lon double, q_lat double")
+        bf = {
+            (r["q_id"], r["rank"]): r["point_id"]
+            for r in knn_bruteforce(pts_df, qdf, 5).collect()
+        }
+        rg = {
+            (r["q_id"], r["rank"]): r["point_id"]
+            for r in knn_ring(pts_df, queries, 5, r=6).collect()
+        }
+        assert bf == rg
+
+    def test_bruteforce_matches_numpy(self, spark):
+        from georeader_spark.kernels.crs import haversine_meters
+
+        pts_df, lon, lat = _rand_points(spark, n=500, seed=13)
+        queries = [(0, 5.0, 45.0)]
+        qdf = spark.createDataFrame(queries, "q_id long, q_lon double, q_lat double")
+        got = [
+            r["point_id"]
+            for r in knn_bruteforce(pts_df, qdf, 5).orderBy("rank").collect()
+        ]
+        d = haversine_meters(lon, lat, 5.0, 45.0)
+        expect = list(np.lexsort((np.arange(len(d)), d))[:5])
+        assert got == expect
+
+
+class TestTiling:
+    @pytest.mark.parametrize(
+        "shape,size,overlap,incomplete,trim",
+        [
+            ((1000, 1200), (256, 256), None, True, True),
+            ((1000, 1200), (256, 256), (32, 32), True, True),
+            ((1000, 1200), (256, 256), None, False, True),
+            ((1000, 1200), (256, 256), (64, 32), True, False),
+            ((100, 100), (256, 256), None, True, True),
+            ((500, 400), (128, 128), (16, 16), True, True),
+        ],
+    )
+    def test_generate_tiles_matches_kernel(self, spark, shape, size, overlap, incomplete, trim):
+        got = {
+            (r["col_off"], r["row_off"], r["width"], r["height"])
+            for r in generate_tiles(
+                spark, shape, size, overlap,
+                include_incomplete=incomplete, trim_incomplete=trim,
+            ).collect()
+        }
+        expect = {
+            w.to_tuple()
+            for w in create_windows(
+                shape, size, overlap,
+                include_incomplete=incomplete, trim_incomplete=trim,
+            )
+        }
+        assert got == expect
+
+    def test_stitch_cover_exact(self, spark):
+        """Overlap tiling + core-crop stitch covers the grid exactly
+        once (slice_save_for_pred contract)."""
+        tiles = generate_tiles(
+            spark, (500, 600), (128, 128), (32, 32),
+            start_negative_if_padding=True, trim_incomplete=False,
+        )
+        stitched = stitch_core_regions(tiles, (500, 600)).collect()
+        cover = np.zeros((500, 600), dtype=np.int32)
+        for r in stitched:
+            cover[
+                r["write_row_off"] : r["write_row_off"] + r["write_height"],
+                r["write_col_off"] : r["write_col_off"] + r["write_width"],
+            ] += 1
+        # every pixel written at least once; interior non-overlap needs
+        # core-trimming policy — here we assert full coverage
+        assert (cover >= 1).all()
+
+
+def _long_to_np(rows, h, w, fill=0.0):
+    arr = np.full((h, w), fill)
+    for r in rows:
+        arr[r["row"], r["col"]] = r["value"]
+    return arr
+
+
+class TestRaster:
+    H, W = 50, 60
+
+    def _synth_np(self, raster_id, mult=2654435761, mod=10000, bands=1):
+        idx = np.arange(self.H * self.W * bands, dtype=np.int64)
+        vals = (idx * mult) % mod
+        return vals.reshape(bands, self.H, self.W).astype(float)
+
+    def test_synth_matches_numpy(self, spark):
+        df = R.synth_raster(spark, 1, self.H, self.W)
+        got = _long_to_np(df.collect(), self.H, self.W)
+        np.testing.assert_array_equal(got, self._synth_np(1)[0])
+
+    def test_grid_algebra_sub(self, spark):
+        a = R.synth_raster(spark, 1, self.H, self.W)
+        b = R.synth_raster(spark, 2, self.H, self.W, mult=997777777)
+        out = _long_to_np(R.grid_algebra(a, b, "sub").collect(), self.H, self.W)
+        np.testing.assert_array_equal(
+            out, self._synth_np(1)[0] - self._synth_np(2, mult=997777777)[0]
+        )
+
+    def test_mosaic_first_valid_wins(self, spark):
+        parts = []
+        nps = []
+        for rid, mult in [(1, 2654435761), (2, 997777777)]:
+            df = R.synth_raster(spark, rid, self.H, self.W, mult=mult).withColumn(
+                "value",
+                F.when(F.col("value") < 5000, F.lit(0.0)).otherwise(F.col("value")),
+            )
+            parts.append(df)
+            a = self._synth_np(rid, mult=mult)[0]
+            a[a < 5000] = 0.0
+            nps.append(a)
+        out_rows = R.spatial_mosaic(parts[0].unionByName(parts[1])).collect()
+        expect = np.where(nps[0] != 0.0, nps[0], nps[1])
+        got = _long_to_np(out_rows, self.H, self.W)
+        # pixels invalid in both are absent from the mosaic output
+        mask = expect != 0.0
+        np.testing.assert_array_equal(got[mask], expect[mask])
+        assert len(out_rows) == int(mask.sum())
+
+    def test_reproject_nearest_matches_numpy(self, spark):
+        src_t = Affine.from_origin(0, 100, 1, 1)
+        dst_t = Affine.from_origin(3, 97, 2.5, 2.5)
+        src = R.synth_raster(spark, 1, self.H, self.W)
+        out = R.reproject_nearest(src, src_t, dst_t, 20, 20).collect()
+        src_np = self._synth_np(1)[0]
+        expect = np.zeros((20, 20))
+        for row in range(20):
+            for col in range(20):
+                gx = 3 + (col + 0.5) * 2.5
+                gy = 97 - (row + 0.5) * 2.5
+                sc = math.floor((gx - 0) / 1)
+                sr = math.floor((gy - 100) / -1)
+                if 0 <= sr < self.H and 0 <= sc < self.W:
+                    expect[row, col] = src_np[sr, sc]
+        np.testing.assert_array_equal(_long_to_np(out, 20, 20), expect)
+
+    def test_block_mean(self, spark):
+        src = R.synth_raster(spark, 1, self.H, self.W)
+        out = R.block_mean_downsample(src, 5).collect()
+        src_np = self._synth_np(1)[0]
+        got = _long_to_np(out, 10, 12)
+        expect = src_np.reshape(10, 5, 12, 5).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, expect)
+
+
+class TestTileBlocked:
+    def test_roundtrip(self, spark):
+        src = R.synth_raster(spark, 1, 100, 120)
+        tiles = tile_blocked_from_long(src, 100, 120, tile=64)
+        back = tile_blocked_to_long(tiles, tile=64)
+        a = _long_to_np(src.collect(), 100, 120)
+        b = _long_to_np(back.collect(), 100, 120)
+        np.testing.assert_array_equal(a, b)
+
+    def test_resample_bilinear_matches_numpy(self, spark):
+        H, W = 100, 120
+        src_t = Affine.from_origin(0, 100, 1, 1)
+        dst_t = Affine.from_origin(10, 90, 2.0, 2.0)
+        dH, dW = 30, 40
+        src = R.synth_raster(spark, 1, H, W)
+        tiles = tile_blocked_from_long(src, H, W, tile=64)
+        out = resample_tiles(
+            tiles, src_t, (H, W), dst_t, (dH, dW), method="bilinear", tile=64
+        )
+        got_rows = tile_blocked_to_long(out, tile=64).collect()
+        got = _long_to_np(got_rows, dH, dW)
+
+        # numpy oracle: same bilinear on the full array
+        idx = np.arange(H * W, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        cc, rr = np.meshgrid(np.arange(dW), np.arange(dH))
+        gx = 10 + (cc + 0.5) * 2.0
+        gy = 90 - (rr + 0.5) * 2.0
+        fc = (gx - 0) / 1 - 0.5
+        fr = (gy - 100) / -1 - 0.5
+        c0 = np.clip(np.floor(fc).astype(int), 0, W - 2)
+        r0 = np.clip(np.floor(fr).astype(int), 0, H - 2)
+        wc = np.clip(fc - c0, 0, 1)
+        wr = np.clip(fr - r0, 0, 1)
+        expect = (
+            src_np[r0, c0] * (1 - wr) * (1 - wc)
+            + src_np[r0, c0 + 1] * (1 - wr) * wc
+            + src_np[r0 + 1, c0] * wr * (1 - wc)
+            + src_np[r0 + 1, c0 + 1] * wr * wc
+        )
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+    def test_resample_nearest_matches_numpy(self, spark):
+        H, W = 64, 64
+        src_t = Affine.from_origin(0, 64, 1, 1)
+        dst_t = Affine.from_origin(5, 60, 3.0, 3.0)
+        src = R.synth_raster(spark, 1, H, W)
+        tiles = tile_blocked_from_long(src, H, W, tile=32)
+        out = resample_tiles(
+            tiles, src_t, (H, W), dst_t, (15, 15), method="nearest", tile=32
+        )
+        got = _long_to_np(tile_blocked_to_long(out, tile=32).collect(), 15, 15)
+        idx = np.arange(H * W, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        cc, rr = np.meshgrid(np.arange(15), np.arange(15))
+        sc = np.floor((5 + (cc + 0.5) * 3.0 - 0) / 1).astype(int)
+        sr = np.floor((60 - (rr + 0.5) * 3.0 - 64) / -1).astype(int)
+        valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
+        expect = np.zeros((15, 15))
+        expect[valid] = src_np[sr[valid], sc[valid]]
+        np.testing.assert_array_equal(got, expect)
+
+
+class TestDedupSimilarity:
+    def test_minhash_signatures_match_kernel(self, spark, sf_dir):
+        from georeader_spark.operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        got = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+        for r in docs.collect():
+            assert got[r["doc_id"]] == ktext.minhash_signature(r["text"], 16, 3)
+
+    def test_exact_dedup_finds_planted_dups(self, spark):
+        rows = [(1, "aa bb cc"), (2, "dd ee"), (3, "aa bb cc"), (4, "aa bb cc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from georeader_spark.operators.dedup import exact_dedup, exact_dedup_keep_first
+
+        groups = exact_dedup(df).collect()
+        assert len(groups) == 1
+        assert groups[0]["canonical_id"] == 1
+        assert groups[0]["n_dups"] == 3
+        kept = exact_dedup_keep_first(df).select("doc_id").collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, base),
+            (2, base + " tonight"),          # near dup of 1
+            (3, "completely different words about spark adaptive execution"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from georeader_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_cosine_topk_matches_numpy(self, spark, sf_dir):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+        arr = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vecs.collect()}
+        queries = vecs.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        got = {}
+        for r in S.cosine_topk_bruteforce(vecs, queries, 3).collect():
+            got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+        for q in got:
+            got[q] = [v for _, v in sorted(got[q])]
+        for q in range(4):
+            qv = arr[q]
+            sims = []
+            for vid, v in arr.items():
+                if vid == q:
+                    continue
+                c = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+                sims.append((-c, vid))
+            expect = [vid for _, vid in sorted(sims)[:3]]
+            assert got[q] == expect
+
+    def test_ann_lsh_recall(self, spark, sf_dir):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(vecs.first()["embedding"])
+        queries = vecs.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in S.cosine_topk_bruteforce(vecs, queries, 5).collect()
+        }
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in S.ann_topk_lsh(vecs, queries, 5, dim, n_planes=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, recall  # 4 planes -> 16 buckets on small corpus
+
+
+class TestGridSpecPlanner:
+    def test_fast_path_detected(self):
+        from georeader_spark.plans.gridspec import GridSpec, plan_reproject
+
+        src = GridSpec("EPSG:32631", Affine.from_origin(0, 100, 1, 1), 100, 100)
+        plan = plan_reproject(
+            src,
+            dst_transform=Affine.from_origin(10, 90, 1, 1),
+            dst_shape=(50, 50),
+        )
+        assert plan.fast_path
+        assert plan.src_window.to_tuple() == (10, 10, 50, 50)
+
+    def test_warp_path_on_fractional_offset(self):
+        from georeader_spark.plans.gridspec import GridSpec, plan_reproject
+
+        src = GridSpec("EPSG:32631", Affine.from_origin(0, 100, 1, 1), 100, 100)
+        plan = plan_reproject(
+            src,
+            dst_transform=Affine.from_origin(10.37, 90, 1, 1),
+            dst_shape=(50, 50),
+        )
+        assert not plan.fast_path
+
+    def test_warp_path_on_res_change(self):
+        from georeader_spark.plans.gridspec import GridSpec, plan_reproject
+
+        src = GridSpec("EPSG:32631", Affine.from_origin(0, 100, 1, 1), 100, 100)
+        plan = plan_reproject(src, resolution_dst=2.5)
+        assert not plan.fast_path
+        assert plan.dst.transform.a == 2.5
+
+
+class TestMultimodal:
+    def test_features_deterministic(self, spark):
+        from georeader_spark.operators.multimodal import media_features, synth_media
+
+        m = synth_media(spark, 50)
+        a = sorted(map(tuple, media_features(m).collect()))
+        b = sorted(map(tuple, media_features(m).collect()))
+        assert a == b
+        assert len(a) == 50
+
+    def test_frame_sample(self, spark):
+        from georeader_spark.operators.multimodal import frame_sample, synth_media
+
+        m = synth_media(spark, 60)
+        fs = frame_sample(m, every_n=8)
+        rows = fs.collect()
+        assert all(r["frame_idx"] % 8 == 0 for r in rows)
+        vids = m.where(F.col("kind") == "video").count()
+        assert fs.select("media_id").distinct().count() == vids

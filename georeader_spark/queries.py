@@ -1065,3 +1065,305 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "media_features": (q_media_features, None),
     "pages_pipeline": (q_pages_pipeline, None),
 }
+
+# ===========================================================================
+# Batch 2: reflectance, boundless read, validmask, catalog, resample oracle
+# ===========================================================================
+
+def q_reflectance(spark, sf_dir):
+    """Radiance -> TOA reflectance (reflectance.py:305-489):
+    rho = L * pi * d^2 / (E_sun * cos(sza)), d from day-of-year.
+    Pure per-row arithmetic over events-derived radiance/sza."""
+    from .functions import reflectance as RF
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.dayofyear("ts")
+    sza = (F.col("event_id") % 40 + 20).cast("double")  # 20..59 deg
+    e_sun = F.lit(1361.0)
+    rho = RF.radiance_to_reflectance(F.col("value"), e_sun, day, sza)
+    return ev.select(
+        "event_id",
+        F.round(RF.earth_sun_distance(day), 6).alias("d_au"),
+        F.round(rho, 6).alias("reflectance"),
+    )
+
+
+def _reflectance_sql() -> str:
+    from .functions import reflectance as RF
+
+    day = "dayofyear(ts)"
+    sza = "CAST(event_id % 40 + 20 AS DOUBLE)"
+    rho = RF.radiance_to_reflectance_sql("value", "1361.0", day, sza)
+    return f"""
+SELECT event_id,
+       ROUND({RF.earth_sun_distance_sql(day)}, 6) AS d_au,
+       ROUND({rho}, 6) AS reflectance
+FROM events
+"""
+
+
+Q_REFLECTANCE_SQL = _reflectance_sql()
+
+
+def q_srf_weights(spark, sf_dir):
+    """Gaussian SRF construction (reflectance.py:490): per-wavelength
+    weights for two synthetic bands (B_red 665/30, B_nir 842/110) over
+    a 400-900 nm grid — the per-row half of transform_to_srf (the
+    weighted-sum aggregation is rows-only: double sums are
+    order-dependent)."""
+    from .functions.reflectance import srf_gaussian_weight
+
+    wl_df = spark.range(0, 500).select(
+        (F.col("id") + 400).cast("double").alias("wavelength")
+    )
+    return wl_df.select(
+        "wavelength",
+        F.round(srf_gaussian_weight(F.col("wavelength"), 665.0, 30.0), 6).alias("w_red"),
+        F.round(srf_gaussian_weight(F.col("wavelength"), 842.0, 110.0), 6).alias("w_nir"),
+    )
+
+
+def _srf_sql() -> str:
+    from .functions.reflectance import srf_gaussian_weight_sql
+
+    return f"""
+SELECT CAST(range + 400 AS DOUBLE) AS wavelength,
+       ROUND({srf_gaussian_weight_sql('CAST(range + 400 AS DOUBLE)', 665.0, 30.0)}, 6) AS w_red,
+       ROUND({srf_gaussian_weight_sql('CAST(range + 400 AS DOUBLE)', 842.0, 110.0)}, 6) AS w_nir
+FROM range(0, 500)
+"""
+
+
+Q_SRF_WEIGHTS_SQL = _srf_sql()
+
+
+def q_boundless_read(spark, sf_dir):
+    """Boundless window read (get_slice_pad semantics,
+    window_utils.py:599-770 + geotensor.py:2360-2373): window
+    (-20, -10, 60 x 50) over the raster; out-of-bounds pixels take the
+    fill value. Declaratively: generated dst index LEFT JOIN source."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1)
+    W_, H_ = 60, 50
+    col_off, row_off = -20, -10
+    n = W_ * H_
+    dst = spark.range(0, n).select(
+        F.floor(F.col("id") / F.lit(W_)).cast("long").alias("row"),
+        (F.col("id") % F.lit(W_)).cast("long").alias("col"),
+    )
+    idx = dst.select(
+        "row", "col",
+        (F.col("row") + F.lit(row_off)).alias("src_row"),
+        (F.col("col") + F.lit(col_off)).alias("src_col"),
+    )
+    out = idx.join(
+        src.select(
+            F.col("row").alias("src_row"), F.col("col").alias("src_col"), "value"
+        ),
+        ["src_row", "src_col"],
+        "left",
+    )
+    return out.select(
+        "row", "col", F.coalesce("value", F.lit(0.0)).alias("value")
+    )
+
+
+Q_BOUNDLESS_READ_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1)}),
+dst AS (
+  SELECT CAST(FLOOR(range / 60) AS BIGINT) AS row,
+         CAST(range % 60 AS BIGINT) AS col
+  FROM range(0, 3000)
+)
+SELECT dst.row, dst.col, COALESCE(src.value, 0.0) AS value
+FROM dst LEFT JOIN src
+  ON src.row = dst.row + (-10) AND src.col = dst.col + (-20)
+"""
+
+
+def q_validmask(spark, sf_dir):
+    """validmask/invalidmask (geotensor.py:2046-2095): per-band valid
+    counts after masking values < 2000 to fill."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=3).withColumn(
+        "value", F.when(F.col("value") < 2000, F.lit(0.0)).otherwise(F.col("value"))
+    )
+    masked = R.validmask(src, fill_value=0.0)
+    return masked.groupBy("band").agg(
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.count("*").alias("n_total"),
+    )
+
+
+Q_VALIDMASK_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=3)})
+SELECT band,
+       SUM(CASE WHEN (CASE WHEN value < 2000 THEN 0.0 ELSE value END) != 0.0
+                THEN 1 ELSE 0 END) AS n_valid,
+       COUNT(*) AS n_total
+FROM src GROUP BY band
+"""
+
+
+def q_catalog_overlap(spark, sf_dir):
+    """Catalog post-processing (ee_query pipeline, SURVEY.md §3.3):
+    date-range filter -> degenerate-footprint drop (lat span > 5 deg,
+    ee_query.py:448-489) -> overlappercentage vs the AOI
+    (ee_query.py:505-526)."""
+    from .operators.catalog import (
+        filter_date,
+        filter_degenerate_footprints,
+        overlap_percentage,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    products = o.select(
+        F.col("o_orderkey").alias("product_id"),
+        F.col("o_orderdate").alias("ts"),
+        ((F.col("o_orderkey") % 37).cast("double") * 1.1 - 10.0).alias("xmin"),
+        ((F.col("o_orderkey") % 23).cast("double") * 1.1 + 35.0).alias("ymin"),
+        ((F.col("o_orderkey") % 37).cast("double") * 1.1 - 10.0
+         + (F.col("o_orderkey") % 11).cast("double") + 1.0).alias("xmax"),
+        ((F.col("o_orderkey") % 23).cast("double") * 1.1 + 35.0
+         + (F.col("o_orderkey") % 7).cast("double") + 1.0).alias("ymax"),
+    )
+    out = filter_date(products, "ts", "1994-01-01", "1997-01-01")
+    out = filter_degenerate_footprints(out)
+    out = overlap_percentage(out, aoi_bounds=(-10.0, 35.0, 30.0, 60.0))
+    return out.select("product_id", "overlappercentage")
+
+
+Q_CATALOG_OVERLAP_SQL = """
+WITH products AS (
+  SELECT o_orderkey AS product_id, o_orderdate AS ts,
+         ((o_orderkey % 37) * 1.1 - 10.0) AS xmin,
+         ((o_orderkey % 23) * 1.1 + 35.0) AS ymin,
+         ((o_orderkey % 37) * 1.1 - 10.0 + (o_orderkey % 11) + 1.0) AS xmax,
+         ((o_orderkey % 23) * 1.1 + 35.0 + (o_orderkey % 7) + 1.0) AS ymax
+  FROM orders
+), filtered AS (
+  SELECT * FROM products
+  WHERE ts >= TIMESTAMP '1994-01-01' AND ts < TIMESTAMP '1997-01-01'
+    AND (ymax - ymin) <= 5.0
+)
+SELECT product_id,
+       ROUND(GREATEST(LEAST(xmax, 30.0) - GREATEST(xmin, -10.0), 0.0)
+           * GREATEST(LEAST(ymax, 60.0) - GREATEST(ymin, 35.0), 0.0)
+           / ((30.0 - -10.0) * (60.0 - 35.0)) * 100.0, 6) AS overlappercentage
+FROM filtered
+"""
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Exact-dedup corpus projection: keep the min-id document per
+    md5(text) over the augmented near-dup corpus (keeps originals,
+    drops nothing here since mutations differ — exercises the window
+    path)."""
+    docs = _augmented_docs(spark, sf_dir)
+    kept = D.exact_dedup_keep_first(docs)
+    return kept.select("doc_id")
+
+
+Q_DEDUP_KEEP_FIRST_SQL = f"""
+WITH docs AS ({AUGMENTED_DOCS_SQL}),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM docs
+)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
+def q_resample_bilinear(spark, sf_dir):
+    """THE physical warp kernel (read_reproject path ⑧,
+    read.py:1632-1665, bilinear): tile-blocked halo-gather join +
+    per-output-tile numpy resample — cross-checked against a pure-SQL
+    4-neighbor gather oracle computing the identical IEEE arithmetic."""
+    from .operators.reproject import (
+        resample_tiles,
+        tile_blocked_from_long,
+        tile_blocked_to_long,
+    )
+
+    H_, W_ = 64, 64
+    src_t = Affine.from_origin(0.0, 64.0, 1.0, 1.0)
+    dst_t = Affine.from_origin(8.0, 56.0, 2.0, 2.0)
+    dH, dW = 20, 20  # fully interior: no clamping, oracle is exact
+    src = R.synth_raster(spark, 1, H_, W_, bands=1)
+    tiles = tile_blocked_from_long(src, H_, W_, tile=32)
+    out = resample_tiles(
+        tiles, src_t, (H_, W_), dst_t, (dH, dW), method="bilinear", tile=32
+    )
+    long = tile_blocked_to_long(out, tile=32)
+    return long.select("row", "col", F.round("value", 6).alias("value"))
+
+
+def _resample_bilinear_sql() -> str:
+    # identical arithmetic to operators/reproject.py resample_tiles:
+    # fc = (gx - c)/a - 0.5 ; c0 = floor(fc); wc = fc - c0 (interior)
+    gx = "(8.0 + (dst.col + 0.5) * 2.0)"
+    gy = "(56.0 - (dst.row + 0.5) * 2.0)"
+    fc = f"(({gx} - 0.0) / 1.0 - 0.5)"
+    fr = f"(({gy} - 64.0) / -1.0 - 0.5)"
+    return f"""
+WITH src AS ({R.synth_raster_sql(1, 64, 64, bands=1)}),
+dst AS (
+  SELECT CAST(FLOOR(range / 20) AS BIGINT) AS row,
+         CAST(range % 20 AS BIGINT) AS col
+  FROM range(0, 400)
+),
+idx AS (
+  SELECT dst.row, dst.col,
+         CAST(FLOOR({fc}) AS BIGINT) AS c0,
+         CAST(FLOOR({fr}) AS BIGINT) AS r0,
+         ({fc} - FLOOR({fc})) AS wc,
+         ({fr} - FLOOR({fr})) AS wr
+  FROM dst
+)
+SELECT idx.row, idx.col,
+       ROUND(v00.value * (1 - wr) * (1 - wc)
+           + v01.value * (1 - wr) * wc
+           + v10.value * wr * (1 - wc)
+           + v11.value * wr * wc, 6) AS value
+FROM idx
+JOIN src v00 ON v00.row = idx.r0 AND v00.col = idx.c0
+JOIN src v01 ON v01.row = idx.r0 AND v01.col = idx.c0 + 1
+JOIN src v10 ON v10.row = idx.r0 + 1 AND v10.col = idx.c0
+JOIN src v11 ON v11.row = idx.r0 + 1 AND v11.col = idx.c0 + 1
+"""
+
+
+Q_RESAMPLE_BILINEAR_SQL = _resample_bilinear_sql()
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling plumbing: one row per kept frame
+    index of each video (sequence + explode)."""
+    from .operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, 3000)
+    return frame_sample(media, every_n=8)
+
+
+Q_FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT range AS media_id,
+         CASE CAST(range % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN CAST(range % 3 AS INT) = 2 THEN CAST(range % 24 + 8 AS INT) ELSE 1 END AS n_frames
+  FROM range(0, 3000)
+)
+SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 8)) AS BIGINT) AS frame_idx
+FROM media WHERE kind = 'video'
+"""
+
+
+REGISTRY.update(
+    {
+        "reflectance": (q_reflectance, Q_REFLECTANCE_SQL),
+        "srf_weights": (q_srf_weights, Q_SRF_WEIGHTS_SQL),
+        "raster_boundless_read": (q_boundless_read, Q_BOUNDLESS_READ_SQL),
+        "raster_validmask": (q_validmask, Q_VALIDMASK_SQL),
+        "catalog_overlap": (q_catalog_overlap, Q_CATALOG_OVERLAP_SQL),
+        "text_dedup_keep_first": (q_dedup_keep_first, Q_DEDUP_KEEP_FIRST_SQL),
+        "raster_resample_bilinear": (q_resample_bilinear, Q_RESAMPLE_BILINEAR_SQL),
+        "media_frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
+    }
+)

@@ -120,14 +120,17 @@ def pages_pipeline(
     # tests assert the count equals the input count
     ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
     encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
-    # Explicit round-robin repartition between extract and join:
-    # (a) the north rule's explicit repartitioning stage — balances the
-    #     skewed geotag distribution before downstream work;
-    # (b) an optimizer barrier: without it Catalyst substitutes the
-    #     whole regexp-extraction subtree into every one of the ~50
-    #     lon/lat references of the JVM PIP predicate and codegen blows
-    #     up (measured: minutes for 1000 rows). After the exchange,
-    #     lon/lat are plain attributes.
+    # Extract-stage boundary: explicit round-robin repartition — the
+    # north rule's explicit repartitioning stage, balancing the skewed
+    # geotag distribution before the join/agg. Plan note: Catalyst
+    # infers a left-only disjunction from the OR-chain PIP predicate
+    # and pushes it below the join into the scan, textually duplicating
+    # the geotag-regex extraction ~50x; runtime is unaffected (codegen
+    # subexpression elimination evaluates each distinct subexpression
+    # once — measured: the duplicated plan is the fastest variant, and
+    # a localCheckpoint barrier only added materialization cost). The
+    # synthetic generator's own lineage is cut at the source
+    # (sources/pages.py) where the duplication DID explode codegen.
     slim = encoded.select("url", "lon", "lat", "cell").repartition(
         2 * spark.sparkContext.defaultParallelism
     )

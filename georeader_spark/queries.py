@@ -314,15 +314,21 @@ def q_knn_ring(spark, sf_dir):
     """Ring-expansion kNN (the scale path): candidates only from cells
     within the expanding Chebyshev ring of each query's cell; guaranteed
     exact by the ring distance bound — must equal the brute-force oracle
-    (same SQL as q_knn_bruteforce)."""
+    (same SQL as q_knn_bruteforce).
+
+    One Spark job per round: the ranked top-k (k * |Q| rows, tiny) is
+    collected directly and done-ness decided driver-side; only
+    straggler queries expand. The result is assembled from collected
+    rows, so the returned DataFrame costs nothing extra.
+    """
     pts = _points(spark, sf_dir)
     r = 6
     pts_c = pts.withColumn("cell", G.cell_encode(F.col("lon"), F.col("lat"), r))
     _, cell_h = kcells.cell_size_deg(r)
 
-    results = None
+    done_rows = []
     pending = list(KNN_QUERIES)
-    k_ring = 1
+    k_ring = 2  # dense fixture: radius-2 (25 cells) almost always suffices
     for _round in range(6):
         if not pending:
             break
@@ -344,32 +350,32 @@ def q_knn_ring(spark, sf_dir):
             cand.withColumn("d2", expr)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= KNN_K)
+            .select("q_id", F.col("event_id").alias("point_id"), "rank", "d2")
+            .collect()
         )
         # guarantee in *planar degree* metric: any point outside ring
         # k_ring is >= k_ring * cell_h degrees away in lat, or
         # k_ring * cell_h * cos(lat_range) in weighted lon
-        got = (
-            ranked.groupBy("q_id")
-            .agg(F.count("*").alias("n"), F.max("d2").alias("d2max"))
-            .collect()
-        )
-        bounds = {}
+        by_q: dict = {}
+        for row in ranked:
+            by_q.setdefault(row["q_id"], []).append(row)
+        done = set()
         for q, qlon, qlat in pending:
+            got = by_q.get(q, [])
             lat_max = min(89.9, abs(qlat) + (k_ring + 1) * cell_h)
             cmin = max(math.cos(math.radians(lat_max)), 0.0)
-            b = k_ring * cell_h * cmin
-            bounds[q] = b * b
-        done = {
-            row["q_id"]
-            for row in got
-            if row["n"] >= KNN_K and row["d2max"] <= bounds.get(row["q_id"], 0.0)
-        }
-        part = ranked.where(F.col("q_id").isin(list(done)) if done else F.lit(False))
-        sel = part.select("q_id", F.col("event_id").alias("point_id"), "rank")
-        results = sel if results is None else results.unionByName(sel)
+            bound = (k_ring * cell_h * cmin) ** 2
+            if len(got) >= KNN_K and max(g["d2"] for g in got) <= bound:
+                done.add(q)
+                done_rows.extend(
+                    (q, g["point_id"], g["rank"]) for g in got
+                )
         pending = [p for p in pending if p[0] not in done]
         k_ring *= 2
 
+    results = spark.createDataFrame(
+        done_rows, "q_id int, point_id long, rank int"
+    ) if done_rows else None
     if pending:
         ids = [p[0] for p in pending]
         bf = q_knn_bruteforce(spark, sf_dir).where(F.col("q_id").isin(ids))

@@ -101,10 +101,13 @@ def pages_throughput(spark, pages_path: str, n_pages: int) -> tuple[float, float
     from georeader_spark.pipeline import pages_pipeline
 
     df = spark.read.parquet(pages_path)
-    # warm codegen/broadcast on the same plan shape, then best of 2
+    # warm codegen/broadcast on the same plan shape, then best-of-3:
+    # the sandbox host's background load drifts ~1.8x over minutes
+    # (measured via a pure-CPU monitor), so the minimum is the honest
+    # estimate of engine capability at each parallelism level
     pages_pipeline(spark, pages_df=df.limit(2000)).count()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         pages_pipeline(spark, pages_df=df).count()
         best = min(best, time.time() - t0)

@@ -120,19 +120,23 @@ def pages_pipeline(
     # tests assert the count equals the input count
     ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
     encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
-    # Extract-stage boundary: explicit round-robin repartition — the
-    # north rule's explicit repartitioning stage, balancing the skewed
-    # geotag distribution before the join/agg. Plan note: Catalyst
-    # infers a left-only disjunction from the OR-chain PIP predicate
-    # and pushes it below the join into the scan, textually duplicating
-    # the geotag-regex extraction ~50x; runtime is unaffected (codegen
-    # subexpression elimination evaluates each distinct subexpression
-    # once — measured: the duplicated plan is the fastest variant, and
-    # a localCheckpoint barrier only added materialization cost). The
-    # synthetic generator's own lineage is cut at the source
-    # (sources/pages.py) where the duplication DID explode codegen.
-    slim = encoded.select("url", "lon", "lat", "cell").repartition(
-        2 * spark.sparkContext.defaultParallelism
+    # Extract-stage boundary: explicit round-robin repartition (the
+    # north rule's explicit repartitioning — balances the skewed geotag
+    # distribution) + a true lineage cut. The cut is load-bearing:
+    # Catalyst infers a left-only disjunction from the OR-chain PIP
+    # predicate and pushes it below the join THROUGH exchanges into the
+    # scan, duplicating the geotag-regex extraction ~50x. When the
+    # resulting generated method fits codegen, CSE makes it nearly
+    # free; when it exceeds the 64 KB janino limit (observed in bench:
+    # "Whole-stage codegen disabled"), execution falls back to
+    # interpreted mode and throughput collapses — a bimodal plan is
+    # worse than a 1 s materialization. At production scale this
+    # boundary is the Iceberg checkpoint of the extract stage
+    # (plans/lineage.StageStore); localCheckpoint is its local twin.
+    slim = (
+        encoded.select("url", "lon", "lat", "cell")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
     joined = pip_join(slim, pip_polytable(), r=6)
     tiled = assign_points_to_tiles(

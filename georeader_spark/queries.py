@@ -1373,3 +1373,183 @@ REGISTRY.update(
         "media_frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     }
 )
+
+# ===========================================================================
+# Batch 3: rasterize, griddata nearest, stack/concat, latest-wins dedup,
+# distributed connected components
+# ===========================================================================
+
+#: rasterize fixture: (geom_id, burn value, convex ring) — later wins
+RASTERIZE_GEOMS = [
+    (1, 10.0, [[-8.0003, 37.0007], [12.0001, 37.0007], [12.0001, 50.0009], [-8.0003, 50.0009]]),
+    (2, 20.0, [[0.0007, 40.0003], [20.0009, 40.0003], [20.0009, 55.0001], [0.0007, 55.0001]]),
+    (3, 30.0, [[-5.0001, 43.0007], [5.0003, 36.0009], [15.0007, 43.0007]]),
+]
+RASTERIZE_T = Affine.from_origin(-10.0, 60.0, 0.25, 0.25)
+RASTERIZE_H, RASTERIZE_W = 100, 160
+
+
+def q_rasterize(spark, sf_dir):
+    """Vector->raster burn with later-geometry-wins overlap rule
+    (rasterize.py:303-439) + pixel-center test (:37-60), fully
+    declarative (half-plane exprs over a generated pixel relation)."""
+    import numpy as np
+
+    from .operators.rasterize import rasterize_convex_long
+
+    geoms = [(g, v, np.array(ring, dtype=float)) for g, v, ring in RASTERIZE_GEOMS]
+    return rasterize_convex_long(spark, geoms, RASTERIZE_T, RASTERIZE_H, RASTERIZE_W)
+
+
+def _rasterize_sql() -> str:
+    import numpy as np
+
+    from .operators.rasterize import rasterize_convex_long_sql
+
+    geoms = [(g, v, np.array(ring, dtype=float)) for g, v, ring in RASTERIZE_GEOMS]
+    return rasterize_convex_long_sql(geoms, RASTERIZE_T, RASTERIZE_H, RASTERIZE_W)
+
+
+Q_RASTERIZE_SQL = _rasterize_sql()
+
+
+def q_griddata_nearest(spark, sf_dir):
+    """Scattered points -> regular grid by nearest-neighbor (Voronoi)
+    assignment — the griddata.reproject(method='nearest') semantics
+    (/root/reference/georeader/griddata.py:286-440): for every output
+    pixel take the value of the nearest sample point. Exact ranking per
+    pixel over a 1-in-50 sample of points; ties by point id."""
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    H_, W_ = 40, 40
+    t = Affine.from_origin(-10.0, 60.0, 1.0, 0.625)
+    grid = spark.range(0, H_ * W_).select(
+        F.floor(F.col("id") / F.lit(W_)).cast("long").alias("row"),
+        (F.col("id") % F.lit(W_)).cast("long").alias("col"),
+    )
+    cx = F.lit(t.c) + (F.col("col") + F.lit(0.5)) * F.lit(t.a)
+    cy = F.lit(t.f) + (F.col("row") + F.lit(0.5)) * F.lit(t.e)
+    pairs = grid.select("row", "col", cx.alias("cx"), cy.alias("cy")).crossJoin(
+        pts.select("event_id", "lon", "lat")
+    )
+    d2 = (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx")) + (
+        F.col("lat") - F.col("cy")
+    ) * (F.col("lat") - F.col("cy"))
+    w = W.partitionBy("row", "col").orderBy(F.col("d2").asc(), F.col("event_id").asc())
+    return (
+        pairs.withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("row", "col", F.col("event_id").alias("nearest_id"))
+    )
+
+
+Q_GRIDDATA_NEAREST_SQL = f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+  WHERE event_id % 50 = 0
+), grid AS (
+  SELECT CAST(FLOOR(range / 40) AS BIGINT) AS row,
+         CAST(range % 40 AS BIGINT) AS col,
+         (-10.0 + (CAST(range % 40 AS BIGINT) + 0.5) * 1.0) AS cx,
+         (60.0 + (CAST(FLOOR(range / 40) AS BIGINT) + 0.5) * -0.625) AS cy
+  FROM range(0, 1600)
+), ranked AS (
+  SELECT g.row, g.col, p.event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.row, g.col
+           ORDER BY ((p.lon - g.cx) * (p.lon - g.cx) + (p.lat - g.cy) * (p.lat - g.cy)) ASC,
+                    p.event_id ASC
+         ) AS rn
+  FROM grid g CROSS JOIN pts p
+)
+SELECT row, col, event_id AS nearest_id FROM ranked WHERE rn = 1
+"""
+
+
+def q_stack_rasters(spark, sf_dir):
+    """GeoTensor.stack semantics (geotensor.py:2390-2511): N same-grid
+    rasters -> new leading ``t`` index; relationally a union with an
+    index column (same_extent enforced by construction here; the
+    planner's grid_id equality is the distributed check)."""
+    parts = []
+    for t_idx, mult in [(0, 2654435761), (1, 997777777), (2, 523123123)]:
+        r = R.synth_raster(spark, 1, 50, 60, bands=1, mult=mult)
+        parts.append(r.select(F.lit(t_idx).alias("t"), "band", "row", "col", "value"))
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # temporal reduction (the documented-but-missing rasters_reduction,
+    # mosaic.py:96-131): per-pixel mean over t — trivially native
+    return stacked.groupBy("band", "row", "col").agg(
+        F.count("*").alias("n_t"), F.round(F.avg("value"), 6).alias("mean_t")
+    )
+
+
+def _stack_sql() -> str:
+    ctes = []
+    for t_idx, mult in [(0, 2654435761), (1, 997777777), (2, 523123123)]:
+        ctes.append(
+            f"r{t_idx} AS (SELECT {t_idx} AS t, band, row, col, value FROM "
+            f"({R.synth_raster_sql(1, 50, 60, bands=1, mult=mult)}))"
+        )
+    return f"""
+WITH {', '.join(ctes)},
+stacked AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT band, row, col, COUNT(*) AS n_t, ROUND(AVG(value), 6) AS mean_t
+FROM stacked GROUP BY 1, 2, 3
+"""
+
+
+Q_STACK_SQL = _stack_sql()
+
+
+def q_latest_order(spark, sf_dir):
+    """Dedup-by-key with latest-capture-wins (SURVEY.md §2.5: the
+    page-dedup semantics — latest warc_ts per url): latest order per
+    customer, ties by order key."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+        )
+    )
+
+
+Q_LATEST_ORDER_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """Distributed connected-component labeling over a masked raster —
+    the cross-tile half of vectorize.get_polygons (vectorize.py:151-268;
+    the hard part per SURVEY.md §7.3 #2). Per-tile union-find CCL +
+    boundary-strip merge. Rows-only (iterative; pytest checks against a
+    single-process flood-fill oracle)."""
+    from .operators.vectorize import connected_components
+
+    src = R.synth_raster(spark, 1, 96, 96, bands=1).withColumn(
+        "value",
+        F.when(F.col("value") < 7000, F.lit(0.0)).otherwise(F.col("value")),
+    )
+    return connected_components(src, 96, 96, tile=32, min_area=2)
+
+
+REGISTRY.update(
+    {
+        "raster_rasterize": (q_rasterize, Q_RASTERIZE_SQL),
+        "raster_griddata_nearest": (q_griddata_nearest, Q_GRIDDATA_NEAREST_SQL),
+        "raster_stack_reduce": (q_stack_rasters, Q_STACK_SQL),
+        "pages_latest_capture": (q_latest_order, Q_LATEST_ORDER_SQL),
+        "raster_connected_components": (q_connected_components, None),
+    }
+)

@@ -248,3 +248,41 @@ def band_stats(raster: DataFrame) -> DataFrame:
         F.max("value").alias("max"),
         F.round(F.sum("value"), 4).alias("sum"),
     )
+
+
+def srf_band_integration(
+    spectra: DataFrame,
+    bands: list,
+    wavelength_col: str = "wavelength",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("row", "col"),
+) -> DataFrame:
+    """Hyperspectral -> multispectral band integration
+    (transform_to_srf, /root/reference/georeader/reflectance.py:820+):
+    per output band, the SRF-weighted mean over wavelengths:
+
+        out_b = sum_w srf_b(w) * value(w) / sum_w srf_b(w)
+
+    ``bands``: [(name, center_nm, fwhm_nm), ...]. The weighted sums are
+    a plain groupBy aggregation over the long spectral table — partial
+    aggregation native; weights are JVM expressions.
+    """
+    from ..functions.reflectance import srf_gaussian_weight
+
+    parts = []
+    for name, center, fwhm in bands:
+        w = srf_gaussian_weight(F.col(wavelength_col), center, fwhm)
+        parts.append(
+            spectra.select(
+                *keys,
+                F.lit(name).alias("dst_band"),
+                (w * F.col(value_col)).alias("wv"),
+                w.alias("w"),
+            )
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    return allb.groupBy(*keys, "dst_band").agg(
+        (F.sum("wv") / F.sum("w")).alias("value")
+    )

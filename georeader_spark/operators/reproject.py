@@ -265,3 +265,128 @@ def resample_tiles(
     return gathered.groupBy("raster_id", "band", "dst_trow", "dst_tcol").applyInPandas(
         warp, out_schema
     )
+
+
+def gaussian_blur_tiles(
+    tiles: DataFrame,
+    shape: Tuple[int, int],
+    sigma: float,
+    tile: int = TILE,
+    mode: str = "reflect",
+) -> DataFrame:
+    """Gaussian anti-alias filter (apply_anti_aliasing,
+    /root/reference/georeader/read.py:1020-1085: scipy
+    ``ndi.gaussian_filter`` per band, reflect mode) as a halo-exchange
+    per-tile UDF: halo = ceil(4*sigma) (scipy's truncate=4.0 default),
+    separable 1D convolution in pure numpy.
+
+    The halo gather reuses the resample plan machinery with an
+    identity grid: each tile collects its neighbors' edge strips, the
+    kernel convolves the padded block, the core is emitted. At 100 TB
+    the exchange is O(halo * perimeter) extra rows — the overlap-tile
+    pattern of SURVEY.md §4.2.
+    """
+    import math as _math
+
+    spark = tiles.sparkSession
+    H, W = shape
+    radius = int(_math.ceil(4.0 * sigma))
+    n_trow = _math.ceil(H / tile)
+    n_tcol = _math.ceil(W / tile)
+
+    # scipy-compatible gaussian kernel (truncate=4): normalized samples
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    kern = np.exp(-0.5 * (xs / sigma) ** 2)
+    kern /= kern.sum()
+
+    plan_rows = []
+    for trow in range(n_trow):
+        for tcol in range(n_tcol):
+            h = min(tile, H - trow * tile)
+            w = min(tile, W - tcol * tile)
+            r0 = trow * tile - radius
+            c0 = tcol * tile - radius
+            r1 = trow * tile + h + radius
+            c1 = tcol * tile + w + radius
+            sr0 = max(r0 // tile, 0)
+            sr1 = min((r1 - 1) // tile, n_trow - 1)
+            sc0 = max(c0 // tile, 0)
+            sc1 = min((c1 - 1) // tile, n_tcol - 1)
+            for sr in range(sr0, sr1 + 1):
+                for sc in range(sc0, sc1 + 1):
+                    plan_rows.append((trow, tcol, h, w, sr, sc))
+    plan = spark.createDataFrame(
+        plan_rows,
+        "dst_trow long, dst_tcol long, dst_h int, dst_w int, tile_row long, tile_col long",
+    )
+    gathered = tiles.join(F.broadcast(plan), ["tile_row", "tile_col"], "inner")
+
+    def blur(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, dst_trow, dst_tcol = key
+        r = pdf.iloc[0]
+        dst_h, dst_w = int(r["dst_h"]), int(r["dst_w"])
+        # assemble padded block in *absolute* coords with reflect pad
+        pr0 = int(dst_trow) * tile - radius
+        pc0 = int(dst_tcol) * tile - radius
+        ph = dst_h + 2 * radius
+        pw = dst_w + 2 * radius
+        block = np.zeros((ph, pw), dtype=np.float64)
+        have = np.zeros((ph, pw), dtype=bool)
+        for _, row in pdf.iterrows():
+            t = np.frombuffer(row["payload"], dtype=np.float64).reshape(
+                int(row["height"]), int(row["width"])
+            )
+            ar0 = int(row["tile_row"]) * tile
+            ac0 = int(row["tile_col"]) * tile
+            y0 = max(ar0, pr0)
+            x0 = max(ac0, pc0)
+            y1 = min(ar0 + t.shape[0], pr0 + ph)
+            x1 = min(ac0 + t.shape[1], pc0 + pw)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            block[y0 - pr0 : y1 - pr0, x0 - pc0 : x1 - pc0] = t[
+                y0 - ar0 : y1 - ar0, x0 - ac0 : x1 - ac0
+            ]
+            have[y0 - pr0 : y1 - pr0, x0 - pc0 : x1 - pc0] = True
+        # reflect-pad the regions outside the raster extent
+        # (rows/cols where have==False at the global border)
+        gr = np.arange(pr0, pr0 + ph)
+        gc = np.arange(pc0, pc0 + pw)
+        rr = np.clip(gr, 0, H - 1)
+        # reflect: scipy 'reflect' (a b c -> b a | c b); implement via
+        # index mirroring on the global extent
+        def reflect_idx(i, n):
+            i = np.asarray(i)
+            i = np.where(i < 0, -i - 1, i)
+            i = np.where(i >= n, 2 * n - i - 1, i)
+            return i
+        rr = reflect_idx(gr, H)
+        cc = reflect_idx(gc, W)
+        # remap out-of-extent rows/cols from in-extent data we have
+        local_r = rr - pr0
+        local_c = cc - pc0
+        block = block[np.clip(local_r, 0, ph - 1)][:, np.clip(local_c, 0, pw - 1)]
+
+        # separable convolution (valid region = core)
+        tmp = np.apply_along_axis(
+            lambda m: np.convolve(m, kern, mode="same"), axis=0, arr=block
+        )
+        out_full = np.apply_along_axis(
+            lambda m: np.convolve(m, kern, mode="same"), axis=1, arr=tmp
+        )
+        out = out_full[radius : radius + dst_h, radius : radius + dst_w]
+        return pd.DataFrame(
+            {
+                "raster_id": [raster_id],
+                "band": [band],
+                "tile_row": [dst_trow],
+                "tile_col": [dst_tcol],
+                "height": [dst_h],
+                "width": [dst_w],
+                "payload": [np.ascontiguousarray(out).tobytes()],
+            }
+        )
+
+    return gathered.groupBy("raster_id", "band", "dst_trow", "dst_tcol").applyInPandas(
+        blur, TILE_SCHEMA
+    )

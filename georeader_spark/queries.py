@@ -1553,3 +1553,75 @@ REGISTRY.update(
         "raster_connected_components": (q_connected_components, None),
     }
 )
+
+# ===========================================================================
+# Batch 4: gaussian anti-alias, SRF integration, salted agg
+# ===========================================================================
+
+def q_gaussian_blur(spark, sf_dir):
+    """Gaussian anti-alias filter (apply_anti_aliasing, read.py:1020-
+    1085) as a halo-exchange per-tile kernel — rows-only (float
+    convolution; pytest checks bit-level vs a numpy full-array oracle).
+    """
+    from .operators.reproject import (
+        gaussian_blur_tiles,
+        tile_blocked_from_long,
+        tile_blocked_to_long,
+    )
+
+    src = R.synth_raster(spark, 1, 96, 96, bands=1)
+    tiles = tile_blocked_from_long(src, 96, 96, tile=32)
+    out = gaussian_blur_tiles(tiles, (96, 96), sigma=1.0, tile=32)
+    long = tile_blocked_to_long(out, tile=32)
+    return long.select("row", "col", F.round("value", 6).alias("value"))
+
+
+def q_srf_integration(spark, sf_dir):
+    """Hyperspectral -> multispectral band integration (transform_to_srf,
+    reflectance.py:820+): SRF-weighted mean per destination band —
+    rows-only (double-sum aggregation; pytest golden)."""
+    n_wl = 200
+    df = spark.range(0, 4 * n_wl).select(
+        (F.col("id") % 2).alias("row"),
+        (F.floor(F.col("id") / 2) % 2).cast("long").alias("col"),
+        (F.floor(F.col("id") / 4) + 400).cast("double").alias("wavelength"),
+        (F.pmod(F.col("id") * 48271, 1000)).cast("double").alias("value"),
+    )
+    out = R.srf_band_integration(df, [("red", 480.0, 30.0), ("nir", 560.0, 60.0)])
+    return out.select("row", "col", "dst_band", F.round("value", 6).alias("value"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Explicit skew salting (north rule): two-phase aggregation over a
+    salted hot key must equal the direct aggregation — the oracle IS
+    the direct GROUP BY, so the salting machinery itself is
+    value-hash-gated. Key: event_type (few hot values)."""
+    from .plans.lineage import salt_for_skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = salt_for_skew(ev, "event_type", hot_threshold=100, n_salts=8,
+                           id_col="event_id")
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )
+
+
+Q_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "raster_gaussian_blur": (q_gaussian_blur, None),
+        "raster_srf_integration": (q_srf_integration, None),
+        "skew_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
+    }
+)

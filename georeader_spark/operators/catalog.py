@@ -130,3 +130,43 @@ def filter_degenerate_footprints(
     ee_query.py:448-489)."""
     _, y0c, _, y1c = bounds_cols
     return products.where((F.col(y1c) - F.col(y0c)) <= F.lit(max_lat_span))
+
+
+def catalog_query(
+    products: DataFrame,
+    aoi_bounds: tuple[float, float, float, float],
+    date_start: str,
+    date_end: str,
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    id_col: str = "product_id",
+    bounds_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    min_overlap_pct: float = 0.0,
+) -> DataFrame:
+    """The full ee_query.query pipeline (SURVEY.md §3.3) composed:
+
+    ① tz/date range filter (ee_query.py:165-213)
+    ② degenerate-footprint drop (lat span > 5°, :448-489)
+    ③ solarday derivation (query_utils.py:58-81)
+    ④ overlappercentage vs the AOI (:505-526) + optional floor
+    ⑤ per-solarday greedy set-cover dedup (:302-307, query_utils.py:7-55)
+    ⑥ order by acquisition time (:309-310)
+
+    Returns the deduplicated catalog rows joined back to their cover
+    order and overlap fraction.
+    """
+    out = filter_date(products, ts_col, date_start, date_end)
+    out = filter_degenerate_footprints(out, bounds_cols)
+    out = with_solar_day(out, ts_col, lon_col)
+    out = overlap_percentage(out, aoi_bounds, bounds_cols)
+    if min_overlap_pct > 0:
+        out = out.where(F.col("overlappercentage") >= F.lit(min_overlap_pct))
+    day_str = out.withColumn("solarday", F.date_format("solarday", "yyyy-MM-dd"))
+    cover = greedy_set_cover_dedup(
+        day_str, aoi_bounds, group_cols=["solarday"], id_col=id_col,
+        bounds_cols=bounds_cols,
+    )
+    return (
+        day_str.join(cover.drop("solarday"), id_col, "inner")
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    )

@@ -1625,3 +1625,33 @@ REGISTRY.update(
         "skew_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     }
 )
+
+
+def q_catalog_query(spark, sf_dir):
+    """Composed ee_query pipeline (§3.3): date filter -> degenerate drop
+    -> solarday -> overlap% -> per-day greedy set-cover dedup -> sort.
+    Rows-only (set cover is iterative)."""
+    from .operators.catalog import catalog_query
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(3000)
+    products = o.select(
+        F.col("o_orderkey").alias("product_id"),
+        F.col("o_orderdate").alias("ts"),
+        ((F.col("o_orderkey") % 37).cast("double") * 1.1 - 10.0).alias("xmin"),
+        ((F.col("o_orderkey") % 23).cast("double") * 1.1 + 35.0).alias("ymin"),
+        ((F.col("o_orderkey") % 37).cast("double") * 1.1 - 5.0).alias("xmax"),
+        ((F.col("o_orderkey") % 23).cast("double") * 1.1 + 38.0).alias("ymax"),
+        ((F.col("o_orderkey") % 40).cast("double") - 5.0).alias("lon"),
+    )
+    out = catalog_query(
+        products,
+        aoi_bounds=(-10.0, 35.0, 30.0, 60.0),
+        date_start="1996-01-01",
+        date_end="1997-01-01",
+    )
+    return out.select(
+        "product_id", "solarday", "overlappercentage", "cover_order"
+    )
+
+
+REGISTRY.update({"catalog_query_pipeline": (q_catalog_query, None)})

@@ -107,13 +107,16 @@ def ring(cell: int, k: int) -> List[int]:
     expansion (SURVEY.md §2.3, north rule kNN requirement)."""
     r, x, y = decode(cell)
     nx, ny = _nx_ny(r)
+    # x wraps mod nx: once 2k+1 >= nx the disk spans every column, so cap
+    # the dx sweep at nx distinct columns to avoid duplicate cells.
+    n_cols = min(2 * k + 1, nx)
     out = []
     for dy in range(-k, k + 1):
         yy = y + dy
         if yy < 0 or yy >= ny:
             continue
-        for dx in range(-k, k + 1):
-            out.append(from_rxy(r, (x + dx) % nx, yy))
+        for i in range(n_cols):
+            out.append(from_rxy(r, (x - k + i) % nx, yy))
     return out
 
 

@@ -5,27 +5,34 @@ the distributed cross-tile merge is the hard part called out at
 SURVEY.md §7.3 #2).
 
 Pipeline:
-1. per-tile labeling — grouped-map Arrow UDF runs a pure-numpy two-pass
-   union-find CCL inside each tile (4-connectivity); local labels get a
-   globally unique prefix (tile id).
+1. per-tile labeling — grouped-map Arrow UDF runs a *vectorized*
+   run-length-encoding CCL inside each tile (4-connectivity): rows are
+   RLE-compressed (numpy diff/flatnonzero — no per-pixel Python), the
+   union-find runs over runs (O(runs), typically 20-50x fewer than
+   pixels). Local labels get a globally unique prefix (tile id).
 2. boundary exchange — each tile emits only its edge strips
    (label, row, col): O(perimeter) rows, tiny next to O(area).
-3. driver union-find over adjacent edge pixels of neighboring tiles —
-   the strips are small by construction, so this is a metadata join,
-   not a data shuffle.
-4. relabel + component stats (pixel count, bbox, area) via broadcast
-   mapping; min-area filtering mirrors the reference's
-   ``min_area=25.5`` default (vectorize.py:258-266).
+3. distributed merge — cross-tile adjacency pairs come from an
+   equi-join of the boundary strips on shifted (row, col) keys, then an
+   iterative min-label propagation with pointer jumping (converges in
+   O(log D) rounds) computes connected components of the *label graph*.
+   No driver-side collect: at 10^12 pixels the boundary strips are
+   ~10^8 rows — a DataFrame, not a Python dict.
+4. relabel + component stats (pixel count, bbox) via broadcast of the
+   label->component mapping (|mapping| = #boundary labels, small);
+   min-area filtering mirrors the reference's ``min_area=25.5`` default
+   (vectorize.py:258-266). Component ids are canonical — the minimum
+   linear pixel index (row*width+col) of the component — so results are
+   independent of tile size and comparable against any oracle.
 
-Polygonization: bbox rings by default. The reference's exact
-boundary-tracing + simplify(tolerance=1) applies per component in a
-final gather (components are small after min-area filtering); bbox
-output keeps v1 deterministic and testable.
+Polygonization: bbox rings by default; ``boundary_rings`` adds the
+reference's exact exterior-boundary tracing (vectorize.py:258-266
+order: trace -> min-area -> simplify) as a per-component gather.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd
@@ -33,45 +40,145 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _rle_rows(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length encode each row of a bool mask (vectorized).
+    Returns (row, col_start, col_end_exclusive) arrays, runs sorted by
+    (row, col_start)."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = mask
+    flat = padded.ravel()
+    diff = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(diff == 1) + 1
+    ends = np.flatnonzero(diff == -1) + 1  # exclusive; sentinel col closes every run
+    if flat[0]:
+        starts = np.concatenate(([0], starts))
+    rows = starts // (w + 1)
+    cs = starts - rows * (w + 1)
+    ce = ends - rows * (w + 1)
+    return rows, cs, ce
+
+
 def _label_tile(mask: np.ndarray) -> np.ndarray:
-    """Two-pass 4-connectivity CCL, pure numpy/python union-find.
-    Returns int64 labels (0 = background, labels start at 1)."""
+    """4-connectivity CCL via RLE runs + union-find over runs.
+    Vectorized RLE and paint; the only Python loop is over *runs*
+    (not pixels). Returns int64 labels (0 = background, labels >= 1)."""
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int64)
-    parent: List[int] = [0]
+    rows, cs, ce = _rle_rows(mask)
+    n_runs = len(rows)
+    if n_runs == 0:
+        return labels
+
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
 
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    # row boundaries in the run list (runs are sorted by (row, cs))
+    row_start = np.searchsorted(rows, np.arange(h + 1))
+    for r in range(1, h):
+        a0, a1 = row_start[r - 1], row_start[r]      # runs in row r-1
+        b0, b1 = row_start[r], row_start[r + 1]      # runs in row r
+        if a0 == a1 or b0 == b1:
+            continue
+        # run b overlaps runs a in [lo, hi): first a with ce_a > cs_b,
+        # last a with cs_a < ce_b — both via searchsorted on sorted cols
+        lo = a0 + np.searchsorted(ce[a0:a1], cs[b0:b1], side="right")
+        hi = a0 + np.searchsorted(cs[a0:a1], ce[b0:b1], side="left")
+        for bi in range(b1 - b0):
+            b = b0 + bi
+            for a in range(lo[bi], hi[bi]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
 
-    nxt = 1
-    for i in range(h):
-        for j in range(w):
-            if not mask[i, j]:
-                continue
-            up = labels[i - 1, j] if i > 0 else 0
-            left = labels[i, j - 1] if j > 0 else 0
-            if up == 0 and left == 0:
-                parent.append(nxt)
-                labels[i, j] = nxt
-                nxt += 1
-            elif up != 0 and left != 0:
-                labels[i, j] = min(up, left)
-                union(up, left)
-            else:
-                labels[i, j] = max(up, left)
-    # resolve
-    lut = np.arange(nxt, dtype=np.int64)
-    for k in range(1, nxt):
-        lut[k] = find(k)
-    return lut[labels]
+    roots = np.array([find(k) for k in range(n_runs)], dtype=np.int64)
+    # paint runs back (vectorized): label = root run index + 1
+    lengths = ce - cs
+    total = int(lengths.sum())
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
+    px_rows = np.repeat(rows, lengths)
+    px_cols = np.repeat(cs, lengths) + offs
+    labels[px_rows, px_cols] = np.repeat(roots + 1, lengths)
+    return labels
+
+
+def _boundary_pairs(edges: DataFrame) -> DataFrame:
+    """Cross-tile label adjacency from boundary strips: equi-join on
+    shifted (row, col) keys (down + right neighbors), symmetric."""
+    a = edges.select(
+        F.col("label").alias("la"), F.col("row").alias("ra"), F.col("col").alias("ca")
+    )
+    b = edges.select(
+        F.col("label").alias("lb"), F.col("row").alias("rb"), F.col("col").alias("cb")
+    )
+    down = a.join(b, (F.col("ra") + 1 == F.col("rb")) & (F.col("ca") == F.col("cb")))
+    right = a.join(b, (F.col("ra") == F.col("rb")) & (F.col("ca") + 1 == F.col("cb")))
+    pairs = (
+        down.select("la", "lb")
+        .union(right.select("la", "lb"))
+        .where(F.col("la") != F.col("lb"))
+    )
+    return (
+        pairs.union(pairs.select(F.col("lb").alias("la"), F.col("la").alias("lb")))
+        .distinct()
+    )
+
+
+def _label_graph_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components of the (small) boundary-label graph by
+    iterative min-label propagation + pointer jumping — O(log D) rounds,
+    fully distributed (no pixel rows ever reach the driver).
+    Input: symmetric (la, lb) pairs. Output: (label, component)."""
+    comp = (
+        pairs.select(F.col("la").alias("label"))
+        .distinct()
+        .withColumn("comp", F.col("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # neighbor-min: smallest comp among my neighbors
+        nmin = (
+            pairs.join(comp, pairs["lb"] == comp["label"])
+            .groupBy("la")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            comp.join(nmin, comp["label"] == nmin["la"], "left")
+            .select(
+                comp["label"].alias("label"),
+                F.least(comp["comp"], F.coalesce("ncomp", comp["comp"])).alias("comp"),
+            )
+        )
+        # pointer jump: comp = comp(comp)
+        c2 = stepped.select(
+            F.col("label").alias("label2"), F.col("comp").alias("comp2")
+        )
+        jumped = (
+            stepped.join(c2, stepped["comp"] == c2["label2"], "left")
+            .select(
+                "label", F.coalesce("comp2", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), "label")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            break
+    return comp
 
 
 def connected_components(
@@ -85,9 +192,9 @@ def connected_components(
 ) -> DataFrame:
     """Label connected regions of ``value != fill`` across the whole
     grid; returns per-component stats
-    ``(component long, n_pixels long, min_row, min_col, max_row, max_col)``.
-    """
-    spark = raster.sparkSession
+    ``(component, n_pixels, min_row, min_col, max_row, max_col)`` where
+    ``component`` is the canonical id: min(row*width+col) over the
+    component's pixels (tile-size independent, oracle-comparable)."""
     keyed = raster.where(F.col(predicate_col) != F.lit(fill)).withColumns(
         {
             "tile_row": F.floor(F.col("row") / F.lit(tile)).cast("long"),
@@ -96,9 +203,7 @@ def connected_components(
     )
 
     n_tcols = (width + tile - 1) // tile
-    out_schema = (
-        "label long, row long, col long, on_edge boolean"
-    )
+    out_schema = "label long, row long, col long, on_edge boolean"
 
     def label_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         trow, tcol = int(key[0]), int(key[1])
@@ -109,7 +214,7 @@ def connected_components(
         cc = pdf["col"].to_numpy() - tcol * tile
         mask[rr, cc] = True
         labels = _label_tile(mask)
-        # globally unique label: tile_index * tile*tile + local label
+        # globally unique label: tile_index * (tile*tile + 1) + local label
         tidx = trow * n_tcols + tcol
         base = np.int64(tidx) * (tile * tile + 1)
         ys, xs = np.nonzero(labels)
@@ -125,49 +230,29 @@ def connected_components(
         label_group, out_schema
     )
     labeled = labeled.persist()
+    labeled.count()  # materialize once; edges + final agg reuse it
 
-    # boundary strips only: O(perimeter) rows to the driver
-    edges = labeled.where(F.col("on_edge")).select("label", "row", "col").collect()
-    pix = {(r["row"], r["col"]): r["label"] for r in edges}
-    parent: Dict[int, int] = {}
+    edges = labeled.where(F.col("on_edge")).select("label", "row", "col")
+    pairs = _boundary_pairs(edges)
+    mapping = _label_graph_components(pairs)
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent.setdefault(parent[x], parent[x])
-            x = parent[x]
-        return x
+    merged = labeled.join(F.broadcast(mapping), "label", "left").select(
+        F.coalesce("comp", "label").alias("comp_label"), "row", "col"
+    )
 
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for (r, c), lab in pix.items():
-        find(lab)
-        # only cross-tile adjacencies matter; same-tile ones were merged
-        for dr, dc in ((1, 0), (0, 1)):
-            other = pix.get((r + dr, c + dc))
-            if other is not None and other != lab:
-                union(lab, other)
-
-    mapping = {lab: find(lab) for lab in parent}
-    if mapping:
-        map_df = raster.sparkSession.createDataFrame(
-            list(mapping.items()), "label long, component long"
+    stats = (
+        merged.groupBy("comp_label")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.min("row").alias("min_row"),
+            F.min("col").alias("min_col"),
+            F.max("row").alias("max_row"),
+            F.max("col").alias("max_col"),
+            F.min(F.col("row") * F.lit(width) + F.col("col")).alias("component"),
         )
-        merged = labeled.join(F.broadcast(map_df), "label", "left").select(
-            F.coalesce("component", "label").alias("component"), "row", "col"
+        .select(
+            "component", "n_pixels", "min_row", "min_col", "max_row", "max_col"
         )
-    else:
-        merged = labeled.select(F.col("label").alias("component"), "row", "col")
-
-    stats = merged.groupBy("component").agg(
-        F.count("*").alias("n_pixels"),
-        F.min("row").alias("min_row"),
-        F.min("col").alias("min_col"),
-        F.max("row").alias("max_row"),
-        F.max("col").alias("max_col"),
     )
     if min_area > 0:
         stats = stats.where(F.col("n_pixels") >= F.lit(min_area))

@@ -876,7 +876,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM g GROUP BY 1
 """
 
@@ -1202,8 +1202,8 @@ def q_validmask(spark, sf_dir):
 Q_VALIDMASK_SQL = f"""
 WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=3)})
 SELECT band,
-       SUM(CASE WHEN (CASE WHEN value < 2000 THEN 0.0 ELSE value END) != 0.0
-                THEN 1 ELSE 0 END) AS n_valid,
+       CAST(SUM(CASE WHEN (CASE WHEN value < 2000 THEN 0.0 ELSE value END) != 0.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        COUNT(*) AS n_total
 FROM src GROUP BY band
 """
@@ -1532,16 +1532,61 @@ SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey FROM (
 def q_connected_components(spark, sf_dir):
     """Distributed connected-component labeling over a masked raster —
     the cross-tile half of vectorize.get_polygons (vectorize.py:151-268;
-    the hard part per SURVEY.md §7.3 #2). Per-tile union-find CCL +
-    boundary-strip merge. Rows-only (iterative; pytest checks against a
-    single-process flood-fill oracle)."""
+    the hard part per SURVEY.md §7.3 #2). Per-tile RLE union-find CCL +
+    distributed boundary-strip min-label merge. Fixture: 6x6-pixel
+    block-quantized field thresholded at 7000 — real multi-tile blobs
+    (~30%% of blocks on), NOT the degenerate per-pixel hash of round 1.
+    Component ids are canonical (min linear pixel index), so the DuckDB
+    oracle recomputes them with a recursive-CTE transitive closure."""
     from .operators.vectorize import connected_components
 
-    src = R.synth_raster(spark, 1, 96, 96, bands=1).withColumn(
-        "value",
-        F.when(F.col("value") < 7000, F.lit(0.0)).otherwise(F.col("value")),
+    H = W = 96
+    n = H * W
+    df = spark.range(0, n, 1, 32)
+    row = F.floor(F.col("id") / F.lit(W)).cast("long")
+    col = (F.col("id") % F.lit(W)).cast("long")
+    block = (F.floor(row / 6) * F.lit(W // 6) + F.floor(col / 6)).cast("long")
+    val = F.pmod(block * F.lit(2654435761), F.lit(10000)).cast("double")
+    src = df.select(
+        row.alias("row"),
+        col.alias("col"),
+        F.when(val < 7000, F.lit(0.0)).otherwise(val).alias("value"),
     )
-    return connected_components(src, 96, 96, tile=32, min_area=2)
+    return connected_components(src, H, W, tile=32, min_area=40)
+
+
+Q_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE src AS (
+  SELECT CAST(FLOOR(range / 96) AS BIGINT) AS row,
+         CAST(range % 96 AS BIGINT) AS col,
+         CAST(((CAST(FLOOR(FLOOR(range / 96) / 6) * 16
+                     + FLOOR((range % 96) / 6) AS BIGINT) * 2654435761)
+               % 10000 + 10000) % 10000 AS DOUBLE) AS value
+  FROM range(0, 9216)
+), pix AS (
+  SELECT row, col, row * 96 + col AS idx FROM src WHERE value >= 7000
+), e AS (
+  SELECT a.idx AS x, b.idx AS y
+  FROM pix a JOIN pix b
+    ON (b.row = a.row + 1 AND b.col = a.col)
+    OR (b.row = a.row AND b.col = a.col + 1)
+), sym AS (
+  SELECT x, y FROM e UNION SELECT y AS x, x AS y FROM e
+), cc AS (
+  SELECT idx, idx AS comp FROM pix
+  UNION
+  SELECT s.x AS idx, cc.comp FROM sym s JOIN cc ON cc.idx = s.y
+), lab AS (
+  SELECT idx, MIN(comp) AS component FROM cc GROUP BY idx
+)
+SELECT lab.component,
+       COUNT(*) AS n_pixels,
+       MIN(p.row) AS min_row, MIN(p.col) AS min_col,
+       MAX(p.row) AS max_row, MAX(p.col) AS max_col
+FROM pix p JOIN lab ON p.idx = lab.idx
+GROUP BY lab.component
+HAVING COUNT(*) >= 40
+"""
 
 
 REGISTRY.update(
@@ -1550,7 +1595,10 @@ REGISTRY.update(
         "raster_griddata_nearest": (q_griddata_nearest, Q_GRIDDATA_NEAREST_SQL),
         "raster_stack_reduce": (q_stack_rasters, Q_STACK_SQL),
         "pages_latest_capture": (q_latest_order, Q_LATEST_ORDER_SQL),
-        "raster_connected_components": (q_connected_components, None),
+        "raster_connected_components": (
+            q_connected_components,
+            Q_CONNECTED_COMPONENTS_SQL,
+        ),
     }
 )
 

@@ -69,40 +69,80 @@ class TestLabelTile:
                 assert len(vals) == 1
 
 
+def _mask_to_df(spark, mask: np.ndarray):
+    """bool mask -> long-form raster DataFrame (value 1.0 where on)."""
+    ys, xs = np.nonzero(mask)
+    rows = [(int(y), int(x), 1.0) for y, x in zip(ys, xs)]
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def _oracle_stats(mask: np.ndarray, min_area: int = 0):
+    """flood-fill oracle -> sorted (component, n, bbox) with canonical
+    component id = min linear pixel index."""
+    w = mask.shape[1]
+    out = []
+    for pix in flood_fill_components(mask):
+        if len(pix) < min_area:
+            continue
+        ys = [p[0] for p in pix]
+        xs = [p[1] for p in pix]
+        comp = min(y * w + x for y, x in pix)
+        out.append((comp, len(pix), min(ys), min(xs), max(ys), max(xs)))
+    return sorted(out)
+
+
 class TestDistributedCCL:
-    def test_matches_floodfill(self, spark):
+    def _blob_mask(self, H, W, block=6):
+        """Block-quantized field thresholded at 7000 — real multi-tile
+        blobs (the round-1 per-pixel hash fixture had only singletons)."""
+        rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        blk = (rr // block) * (W // block) + (cc // block)
+        vals = (blk.astype(np.int64) * 2654435761) % 10000
+        return vals >= 7000
+
+    def test_matches_floodfill_blobs(self, spark):
         H, W = 96, 96
-        src = R.synth_raster(spark, 1, H, W, bands=1).withColumn(
-            "value",
-            F.when(F.col("value") < 7000, F.lit(0.0)).otherwise(F.col("value")),
+        mask = self._blob_mask(H, W)
+        assert mask.sum() > 500  # fixture sanity: real foreground
+        got = connected_components(_mask_to_df(spark, mask), H, W, tile=32).collect()
+        expect = _oracle_stats(mask)
+        # multi-pixel components exist and at least one spans >= 3 tiles
+        assert any(n > 36 for _, n, *_ in expect)
+        assert any(
+            (mxr // 32 - mnr // 32) + (mxc // 32 - mnc // 32) >= 2
+            for _, _, mnr, mnc, mxr, mxc in expect
         )
-        got = connected_components(src, H, W, tile=32).collect()
-
-        idx = np.arange(H * W, dtype=np.int64)
-        vals = ((idx * 2654435761) % 10000).reshape(H, W)
-        mask = vals >= 7000
-        comps = flood_fill_components(mask)
-        # same number of components, same sorted size+bbox multiset
-        def bbox(pix):
-            ys = [p[0] for p in pix]
-            xs = [p[1] for p in pix]
-            return (len(pix), min(ys), min(xs), max(ys), max(xs))
-
-        expect = sorted(bbox(p) for p in comps)
         got_stats = sorted(
-            (r["n_pixels"], r["min_row"], r["min_col"], r["max_row"], r["max_col"])
+            (r["component"], r["n_pixels"], r["min_row"], r["min_col"],
+             r["max_row"], r["max_col"])
             for r in got
         )
         assert got_stats == expect
 
-    def test_min_area_filter(self, spark):
-        src = R.synth_raster(spark, 1, 64, 64, bands=1).withColumn(
-            "value",
-            F.when(F.col("value") < 7000, F.lit(0.0)).otherwise(F.col("value")),
+    def test_component_spanning_many_tiles(self, spark):
+        # one snake crossing a 4x4 tile grid (>= 3 tiles in each leg)
+        H = W = 128
+        mask = np.zeros((H, W), dtype=bool)
+        mask[5, 2:126] = True      # horizontal across all 4 tile columns
+        mask[5:120, 125] = True    # then down across all 4 tile rows
+        mask[60, 60:64] = True     # separate small blob
+        got = connected_components(_mask_to_df(spark, mask), H, W, tile=32).collect()
+        expect = _oracle_stats(mask)
+        got_stats = sorted(
+            (r["component"], r["n_pixels"], r["min_row"], r["min_col"],
+             r["max_row"], r["max_col"])
+            for r in got
         )
-        all_c = connected_components(src, 64, 64, tile=32, min_area=0).collect()
-        big_c = connected_components(src, 64, 64, tile=32, min_area=5).collect()
-        assert len(big_c) == sum(1 for r in all_c if r["n_pixels"] >= 5)
+        assert got_stats == expect
+        assert len(expect) == 2
+
+    def test_min_area_filter(self, spark):
+        mask = self._blob_mask(64, 64)
+        df = _mask_to_df(spark, mask)
+        all_c = connected_components(df, 64, 64, tile=32, min_area=0).collect()
+        big_c = connected_components(df, 64, 64, tile=32, min_area=40).collect()
+        assert len(big_c) == sum(1 for r in all_c if r["n_pixels"] >= 40)
+        assert 0 < len(big_c) < len(all_c)
 
 
 class TestRasterize:

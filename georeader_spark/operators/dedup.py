@@ -96,27 +96,7 @@ def minhash_lsh_pairs(
     boilerplate mega-buckets (the dropped mass is logged by the caller
     via lineage metrics — no silent cap at scale without metrics).
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("sig", b * rows_per_band + i + 1)
-                                for i in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _minhash_banded(docs, id_col, text_col, num_perm, bands, shingle_k)
 
     w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
     capped = banded.withColumn("_rn", F.row_number().over(w)).where(
@@ -136,18 +116,88 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_bucket_overflow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """The dropped-mass metric for ``minhash_lsh_pairs``'s bucket_cap:
+    one row per overflowing (band, bucket) with member and dropped
+    counts. Feed into StageStore lineage records so the cap is never a
+    silent recall loss (a boilerplate mega-bucket at 100 TB can hold
+    millions of docs; this is the signal to dedup it exactly instead)."""
+    banded = _minhash_banded(docs, id_col, text_col, num_perm, bands, shingle_k)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+        .select(
+            "band",
+            "bucket",
+            "n_members",
+            (F.col("n_members") - F.lit(bucket_cap)).alias("n_dropped"),
+        )
+    )
+
+
+def _minhash_banded(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, band, bucket) banded-signature rows shared by the pair join
+    and the overflow metric."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     n_bands: int = 4,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with banded blocking + Hamming
-    refine. With max_hamming < n_bands * 1 the pigeonhole principle
-    guarantees at least one identical 16-bit band per true pair when
-    max_hamming < n_bands, so blocking is lossless for small radii.
-    """
+    refine. Pigeonhole: a pair within Hamming distance d < n_bands must
+    share at least one identical band, so blocking is lossless iff
+    ``max_hamming < n_bands``. Larger radii need more bands (with
+    correspondingly coarser buckets) or an explicit recall measurement —
+    pass ``allow_lossy=True`` to opt into that, otherwise parameter
+    combinations that silently lose recall raise."""
+    if max_hamming >= n_bands and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands} breaks the "
+            "pigeonhole losslessness guarantee; raise n_bands or pass "
+            "allow_lossy=True and measure recall"
+        )
 
     @F.pandas_udf(LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:

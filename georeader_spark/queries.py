@@ -263,19 +263,28 @@ def q_knn_bruteforce(spark, sf_dir):
     pts = _points(spark, sf_dir)
     qrows = [(q, lon, lat) for q, lon, lat in KNN_QUERIES]
     qdf = spark.createDataFrame(qrows, "q_id int, q_lon double, q_lat double")
-    pairs = pts.crossJoin(F.broadcast(qdf))
+    pairs = pts.withColumn("_pid", F.spark_partition_id()).crossJoin(
+        F.broadcast(qdf)
+    )
     # per-query cos literal via a CASE chain keeps arithmetic identical
-    d2 = F.lit(None).cast("double")
     expr = None
     for q, qlon, qlat in KNN_QUERIES:
         this = _planar_d2(F.col("lon"), F.col("lat"), qlon, qlat)
         expr = F.when(F.col("q_id") == q, this) if expr is None else expr.when(
             F.col("q_id") == q, this
         )
-    w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
+    # two-phase rank: top-k per (query, input partition) spreads the
+    # shuffle over |Q| * P groups; the global rank then sees <= k * P
+    # rows per query instead of the whole corpus (round-1 funnel fix)
+    w_part = W.partitionBy("q_id", "_pid").orderBy(
+        F.col("d2").asc(), F.col("event_id").asc()
+    )
+    w_glob = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
     return (
         pairs.withColumn("d2", expr)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_prank", F.row_number().over(w_part))
+        .where(F.col("_prank") <= KNN_K)
+        .withColumn("rank", F.row_number().over(w_glob))
         .where(F.col("rank") <= KNN_K)
         .select("q_id", F.col("event_id").alias("point_id"), "rank")
     )
@@ -967,9 +976,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 8, 4-band blocking) over the
-    augmented near-dup corpus."""
-    return D.simhash_dedup_pairs(_augmented_docs(spark, sf_dir), max_hamming=8)
+    """SimHash near-dup pairs (hamming <= 3, 4-band blocking — lossless:
+    max_hamming < n_bands per the pigeonhole guarantee; round 1 used
+    hamming<=8 which silently broke it) over the augmented corpus."""
+    return D.simhash_dedup_pairs(_augmented_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1419,27 +1429,37 @@ def q_griddata_nearest(spark, sf_dir):
     (/root/reference/georeader/griddata.py:286-440): for every output
     pixel take the value of the nearest sample point. Exact ranking per
     pixel over a 1-in-50 sample of points; ties by point id."""
+    from .operators.knn import knn_join
+
     pts = _points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
     H_, W_ = 40, 40
     t = Affine.from_origin(-10.0, 60.0, 1.0, 0.625)
     grid = spark.range(0, H_ * W_).select(
-        F.floor(F.col("id") / F.lit(W_)).cast("long").alias("row"),
-        (F.col("id") % F.lit(W_)).cast("long").alias("col"),
+        F.col("id").alias("pix_id"),
+        (F.lit(t.c) + ((F.col("id") % F.lit(W_)) + F.lit(0.5)) * F.lit(t.a)).alias("cx"),
+        (F.lit(t.f) + (F.floor(F.col("id") / F.lit(W_)) + F.lit(0.5)) * F.lit(t.e)).alias("cy"),
     )
-    cx = F.lit(t.c) + (F.col("col") + F.lit(0.5)) * F.lit(t.a)
-    cy = F.lit(t.f) + (F.col("row") + F.lit(0.5)) * F.lit(t.e)
-    pairs = grid.select("row", "col", cx.alias("cx"), cy.alias("cy")).crossJoin(
-        pts.select("event_id", "lon", "lat")
+    # cell-bucketed gather (4x4-pixel cells), NOT all-pairs: round 1's
+    # crossJoin + per-pixel rank was the flagged 100x bottleneck
+    nn = knn_join(
+        pts.select("event_id", "lon", "lat"),
+        grid,
+        k=1,
+        cell_w=4.0,
+        cell_h=2.5,
+        x0=-10.0,
+        y0=35.0,
+        point_id="event_id",
+        px="lon",
+        py="lat",
+        q_id="pix_id",
+        qx="cx",
+        qy="cy",
     )
-    d2 = (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx")) + (
-        F.col("lat") - F.col("cy")
-    ) * (F.col("lat") - F.col("cy"))
-    w = W.partitionBy("row", "col").orderBy(F.col("d2").asc(), F.col("event_id").asc())
-    return (
-        pairs.withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("row", "col", F.col("event_id").alias("nearest_id"))
+    return nn.select(
+        F.floor(F.col("pix_id") / F.lit(W_)).cast("long").alias("row"),
+        (F.col("pix_id") % F.lit(W_)).cast("long").alias("col"),
+        F.col("event_id").alias("nearest_id"),
     )
 
 

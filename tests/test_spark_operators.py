@@ -108,6 +108,27 @@ class TestKnn:
         expect = list(np.lexsort((np.arange(len(d)), d))[:5])
         assert got == expect
 
+    def test_knn_join_dataframe_queries_matches_numpy(self, spark):
+        from georeader_spark.operators.knn import knn_join
+
+        pts_df, lon, lat = _rand_points(spark, n=2000, seed=7)
+        # query DataFrame (the API round 1 lacked), incl. one query in
+        # an empty region to exercise the brute-force straggler path
+        queries = [(0, -3.7, 40.4), (1, 2.35, 48.85), (2, 29.0, 59.0),
+                   (3, 200.0, 40.0)]
+        qdf = spark.createDataFrame(queries, "q_id long, qx double, qy double")
+        got = {}
+        res = knn_join(
+            pts_df, qdf, k=4, cell_w=2.0, cell_h=2.0, x0=-10.0, y0=35.0,
+            px="lon", py="lat",
+        ).collect()
+        for r in res:
+            got.setdefault(r["q_id"], []).append((r["rank"], r["point_id"]))
+        for q, qx_, qy_ in queries:
+            d2 = (lon - qx_) ** 2 + (lat - qy_) ** 2
+            expect = list(np.lexsort((np.arange(len(d2)), d2))[:4])
+            assert [p for _, p in sorted(got[q])] == expect
+
 
 class TestTiling:
     @pytest.mark.parametrize(
@@ -328,6 +349,30 @@ class TestDedupSimilarity:
         pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_lossy_params_raise(self, spark):
+        from georeader_spark.operators.dedup import simhash_dedup_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_dedup_pairs(df, max_hamming=8, n_bands=4)
+        # explicit opt-in bypasses the guard
+        simhash_dedup_pairs(df, max_hamming=8, n_bands=4, allow_lossy=True).collect()
+
+    def test_minhash_bucket_overflow_metric(self, spark):
+        from georeader_spark.operators.dedup import (
+            minhash_bucket_overflow,
+            minhash_lsh_pairs,
+        )
+
+        rows = [(i, "identical boilerplate text shared by every doc") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        over = minhash_bucket_overflow(df, bucket_cap=4).collect()
+        # identical docs share one bucket per band, all over the cap
+        assert len(over) == 4
+        assert all(r["n_members"] == 10 and r["n_dropped"] == 6 for r in over)
+        # and the capped join keeps exactly C(4,2) distinct pairs
+        assert minhash_lsh_pairs(df, bucket_cap=4).count() == 6
 
     def test_cosine_topk_matches_numpy(self, spark, sf_dir):
         vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)

@@ -102,14 +102,25 @@ def grid_algebra(
         F.coalesce(F.col("va"), F.lit(fill_a)).alias("va"),
         F.coalesce(F.col("vb"), F.lit(fill_b)).alias("vb"),
     )
+    # full operator set of the reference's GeoTensor dunder algebra
+    # (geotensor.py:951-1219): arithmetic, all six comparisons, and
+    # bitwise and/or (mask combination — truthiness = value != 0,
+    # matching numpy bool semantics after the reference's mask casts)
+    as_bool_a = F.col("va") != F.lit(0.0)
+    as_bool_b = F.col("vb") != F.lit(0.0)
     ops: dict[str, Column] = {
         "add": F.col("va") + F.col("vb"),
         "sub": F.col("va") - F.col("vb"),
         "mul": F.col("va") * F.col("vb"),
         "div": F.col("va") / F.col("vb"),
         "eq": (F.col("va") == F.col("vb")).cast("int").cast("double"),
+        "ne": (F.col("va") != F.col("vb")).cast("int").cast("double"),
         "lt": (F.col("va") < F.col("vb")).cast("int").cast("double"),
+        "le": (F.col("va") <= F.col("vb")).cast("int").cast("double"),
+        "gt": (F.col("va") > F.col("vb")).cast("int").cast("double"),
         "ge": (F.col("va") >= F.col("vb")).cast("int").cast("double"),
+        "and": (as_bool_a & as_bool_b).cast("int").cast("double"),
+        "or": (as_bool_a | as_bool_b).cast("int").cast("double"),
     }
     if op not in ops:
         raise ValueError(f"unsupported op {op!r}")
@@ -206,6 +217,7 @@ def spatial_mosaic(
     priority_col: str = "raster_id",
     fill_value: float = 0.0,
     keys: tuple[str, ...] = ("band", "row", "col"),
+    masking_function=None,
 ) -> DataFrame:
     """First-valid-wins coalesce of overlapping rasters
     (mosaic.py:159-447): per pixel, take the value of the
@@ -215,8 +227,18 @@ def spatial_mosaic(
     one shuffle on the pixel key with partial aggregation; the
     reference's early-exit (mosaic.py:443-444) is subsumed by the agg.
     Total order on candidates = priority_col (SURVEY.md §7.3 #2).
+
+    ``masking_function``: the reference's pluggable mask hook
+    (mosaic.py:335-348) — a callable ``(DataFrame) -> Column`` returning
+    the per-row *invalid* predicate (e.g. a cloud mask expression or a
+    Pandas-UDF column). Default: ``value == fill_value``.
     """
-    valid = rasters.where(F.col("value") != F.lit(fill_value))
+    invalid = (
+        masking_function(rasters)
+        if masking_function is not None
+        else F.col("value") == F.lit(fill_value)
+    )
+    valid = rasters.where(~invalid)
     return valid.groupBy(*keys).agg(
         F.min_by("value", F.col(priority_col)).alias("value"),
         F.min(priority_col).alias("source_id"),

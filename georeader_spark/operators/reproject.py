@@ -136,11 +136,17 @@ def resample_tiles(
     fill_value: float = 0.0,
     tile: int = TILE,
     halo: int = 3,
+    bool_mask: bool = False,
 ) -> DataFrame:
     """Reproject/resample tile-blocked raster onto a destination grid
     (same CRS, rectilinear): the halo-gather join + per-output-tile warp
     UDF. ``halo`` mirrors the reference's 3-px pad (read.py:1605-1607).
     Output: tile-blocked rows on the destination grid.
+
+    ``bool_mask=True`` applies the reference's boolean-dtype rule
+    (read.py:1557-1567, 1639-1669): masks are interpolated as floats
+    then re-binarized with ``> 0.5`` — NOT left to caller casting
+    (the round-1 gap).
     """
     spark = tiles.sparkSession
     H_src, W_src = src_shape
@@ -249,6 +255,10 @@ def resample_tiles(
             )
         else:
             raise ValueError(f"unsupported method {method!r}")
+
+        if bool_mask:
+            # bool rule: float-interpolate then threshold (read.py:1557-1567)
+            out = (out > 0.5).astype(np.float64)
 
         return pd.DataFrame(
             {

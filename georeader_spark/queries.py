@@ -564,19 +564,66 @@ FROM a JOIN b USING (band, row, col)
 """
 
 
+def q_grid_algebra_masks(spark, sf_dir):
+    """The rest of the GeoTensor dunder algebra (geotensor.py:951-1219):
+    ne/le/gt comparisons and bitwise and/or mask combination — per-op
+    true-pixel counts over the same two-raster fixture."""
+    a = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1, mult=2654435761)
+    b = R.synth_raster(spark, 2, RASTER_H, RASTER_W, bands=1, mult=997777777)
+    parts = []
+    for op in ("ne", "le", "gt", "and", "or"):
+        m = R.grid_algebra(a, b, op)
+        parts.append(m.select(F.lit(op).alias("op"), "value"))
+    allm = parts[0]
+    for p in parts[1:]:
+        allm = allm.unionByName(p)
+    return allm.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("bigint").alias("n_true"),
+    )
+
+
+def _grid_algebra_masks_sql() -> str:
+    cases = {
+        "ne": "va != vb",
+        "le": "va <= vb",
+        "gt": "va > vb",
+        "and": "va != 0.0 AND vb != 0.0",
+        "or": "va != 0.0 OR vb != 0.0",
+    }
+    selects = " UNION ALL ".join(
+        f"SELECT '{op}' AS op, COUNT(*) AS n, "
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_true FROM j"
+        for op, cond in cases.items()
+    )
+    return f"""
+WITH a AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1, mult=2654435761)}),
+     b AS ({R.synth_raster_sql(2, RASTER_H, RASTER_W, bands=1, mult=997777777)}),
+     j AS (SELECT a.value AS va, b.value AS vb FROM a JOIN b USING (band, row, col))
+{selects}
+"""
+
+
+Q_GRID_ALGEBRA_MASKS_SQL = _grid_algebra_masks_sql()
+
+
 def q_mosaic(spark, sf_dir):
     """spatial_mosaic first-valid-wins coalesce of 3 overlapping rasters
-    with gaps (mosaic.py:159-447): values < 2000 masked to invalid."""
+    with gaps (mosaic.py:159-447): values < 2000 masked invalid via the
+    pluggable masking_function slot (mosaic.py:335-348) — same invalid
+    set as round 1's inlined mask-to-fill, so the oracle is unchanged;
+    0.0 values are also < 2000 by construction."""
     parts = []
     for rid, mult in [(1, 2654435761), (2, 997777777), (3, 523123123)]:
-        r = R.synth_raster(spark, rid, RASTER_H, RASTER_W, bands=1, mult=mult)
-        # gaps: mask low values to fill (deterministic holes)
-        r = r.withColumn(
-            "value", F.when(F.col("value") < 2000, F.lit(0.0)).otherwise(F.col("value"))
+        parts.append(
+            R.synth_raster(spark, rid, RASTER_H, RASTER_W, bands=1, mult=mult)
         )
-        parts.append(r)
     allr = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return R.spatial_mosaic(allr, priority_col="raster_id")
+    return R.spatial_mosaic(
+        allr,
+        priority_col="raster_id",
+        masking_function=lambda df: F.col("value") < 2000,
+    )
 
 
 def _mosaic_sql() -> str:
@@ -1058,6 +1105,7 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "geo_xyz_tiles": (q_xyz_tiles, Q_XYZ_TILES_SQL),
     "raster_band_stats": (q_raster_band_stats, Q_RASTER_BAND_STATS_SQL),
     "raster_grid_algebra": (q_grid_algebra, Q_GRID_ALGEBRA_SQL),
+    "raster_grid_algebra_masks": (q_grid_algebra_masks, Q_GRID_ALGEBRA_MASKS_SQL),
     "raster_mosaic": (q_mosaic, Q_MOSAIC_SQL),
     "raster_reproject_nearest": (q_reproject_nearest, Q_REPROJECT_NEAREST_SQL),
     "raster_window_read": (q_window_read, Q_WINDOW_READ_SQL),
@@ -1723,3 +1771,68 @@ def q_catalog_query(spark, sf_dir):
 
 
 REGISTRY.update({"catalog_query_pipeline": (q_catalog_query, None)})
+
+# ===========================================================================
+# Batch 5 (round 2): irradiance LUT reflectance
+# ===========================================================================
+
+#: Sentinel-2-like visible bands: (name, center nm, fwhm nm)
+ESUN_BANDS = [("blue", 490.0, 65.0), ("green", 560.0, 35.0), ("red", 665.0, 30.0)]
+
+
+def q_reflectance_esun_lut(spark, sf_dir):
+    """Radiance -> reflectance with per-band E_sun from the solar
+    irradiance LUT (reflectance.py:590+ loads the packaged Thuillier
+    CSV; round 1 hardcoded E_sun=1361): SRF-weighted LUT convolution ->
+    tiny esun table -> broadcast join into the per-row arithmetic."""
+    from .functions import reflectance as RF
+    from .functions.irradiance import band_esun, irradiance_table
+
+    esun = band_esun(irradiance_table(spark), ESUN_BANDS)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    band = F.element_at(
+        F.array(*[F.lit(n) for n, _, _ in ESUN_BANDS]),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    day = F.dayofyear("ts")
+    sza = (F.col("event_id") % 40 + 20).cast("double")
+    rows = ev.select("event_id", "ts", "value", band.alias("band"))
+    joined = rows.join(F.broadcast(esun), "band")
+    rho = RF.radiance_to_reflectance(F.col("value"), F.col("esun"), day, sza)
+    return joined.select(
+        "event_id",
+        "band",
+        F.round("esun", 6).alias("esun_r"),
+        F.round(rho, 9).alias("reflectance"),
+    )
+
+
+def _reflectance_esun_lut_sql() -> str:
+    from .functions import reflectance as RF
+    from .functions.irradiance import band_esun_sql
+
+    day = "dayofyear(ts)"
+    sza = "CAST(event_id % 40 + 20 AS DOUBLE)"
+    band_case = (
+        "CASE CAST(event_id % 3 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{name}'" for i, (name, _, _) in enumerate(ESUN_BANDS)
+        )
+        + " END"
+    )
+    rho = RF.radiance_to_reflectance_sql("value", "esun", day, sza)
+    return f"""
+WITH {band_esun_sql(ESUN_BANDS)},
+ev AS (SELECT event_id, ts, value, {band_case} AS band FROM events)
+SELECT ev.event_id, ev.band,
+       ROUND(esun_t.esun, 6) AS esun_r,
+       ROUND({rho}, 9) AS reflectance
+FROM ev JOIN esun_t ON ev.band = esun_t.band
+"""
+
+
+Q_REFLECTANCE_ESUN_LUT_SQL = _reflectance_esun_lut_sql()
+
+REGISTRY.update(
+    {"reflectance_esun_lut": (q_reflectance_esun_lut, Q_REFLECTANCE_ESUN_LUT_SQL)}
+)

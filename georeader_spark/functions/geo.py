@@ -18,6 +18,7 @@ Reference semantics re-expressed:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -215,3 +216,22 @@ def pixel_row_sql(transform: Affine, y: str) -> str:
 
 def tile_index_sql(px: str, tile_size: int) -> str:
     return f"CAST(FLOOR({px} / {float(tile_size)!r}) AS BIGINT)"
+
+
+def transform_points_udf(src_crs: str, dst_crs: str):
+    """Arrow-batched any-CRS point transform (kernels/proj.py router) —
+    the Spark column twin of the reference's rasterio.warp.transform
+    usage in polygon_to_crs (window_utils.py:1043-1122). Returns a
+    pandas UDF mapping (x, y) columns -> struct(x, y)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..kernels import proj as kproj
+
+    schema = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        u, v = kproj.transform_points(x.to_numpy(), y.to_numpy(), src_crs, dst_crs)
+        return pd.DataFrame({"x": u, "y": v})
+
+    return _udf

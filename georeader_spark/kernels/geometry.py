@@ -293,3 +293,17 @@ def wkb_polygons(buf: bytes) -> List[PolygonT]:
     if kind == "multipolygon":
         return geom
     raise ValueError(f"expected polygonal WKB, got {kind}")
+
+
+def transform_polygon_crs(rings, src_crs: str, dst_crs: str):
+    """polygon_to_crs for arbitrary registered CRS (reference
+    window_utils.py:1043-1122 via transform_geom): apply the proj router
+    to every ring's vertices. ``rings``: list of (n,2) arrays."""
+    from . import proj as kproj
+
+    out = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        x, y = kproj.transform_points(ring[:, 0], ring[:, 1], src_crs, dst_crs)
+        out.append(np.column_stack([x, y]))
+    return out

@@ -1,0 +1,400 @@
+"""General projected-CRS support beyond UTM/WebMercator — the round-1
+gap (reference ``polygon_to_crs``/``transform_geom`` accepts any CRS,
+/root/reference/georeader/window_utils.py:1043-1122; round 1 had only
+Snyder UTM + web-mercator).
+
+Pure-numpy ellipsoidal formulas from Snyder, "Map Projections — A
+Working Manual" (USGS PP 1395, public domain):
+
+- Lambert Conformal Conic, 2 standard parallels (Snyder pp. 107-109)
+- Albers Equal-Area Conic (pp. 101-102)
+- Lambert Azimuthal Equal-Area (pp. 187-190)
+- Polar Stereographic, variant B (pp. 160-162)
+
+plus an EPSG parameter registry for the codes a catalog is most likely
+to carry (Lambert-93, ETRS89-LAEA, CONUS/Australian Albers, Canada
+LCC, NSIDC/Antarctic polar stereo) and :func:`transform_points`, the
+any-to-any router (src -> lon/lat -> dst) that also handles EPSG:4326,
+EPSG:3857 and UTM zones via kernels/crs.py.
+
+Accuracy: round-trip < 1e-9 deg (tested); projection centers map
+exactly to their false origins (tested anchors).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple, Union
+
+import numpy as np
+
+from . import crs as kcrs
+
+ArrayLike = Union[float, np.ndarray]
+
+# ellipsoids: (a, f). GRS80 differs from WGS84 in f only (12th digit).
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+}
+
+
+def _e2(f: float) -> float:
+    return f * (2.0 - f)
+
+
+def _m(phi, e2):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _q(phi, e):
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - e * e * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _phi_from_t(t, e, iters=15):
+    """Invert t(phi) by fixed point (Snyder 7-9)."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    return phi
+
+
+def _phi_from_q(q, e, iters=15):
+    """Invert q(phi) by Newton (Snyder 3-16)."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        c = 1.0 - e * e * s * s
+        # dq/dphi = 2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2
+        dq_dphi = 2.0 * (1.0 - e * e) * np.cos(phi) / (c * c)
+        phi = phi + (q - _q(phi, e)) / np.where(dq_dphi == 0, 1e-12, dq_dphi)
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic, 2SP (Snyder 15-1..15-11)
+# ---------------------------------------------------------------------------
+
+def lcc2sp_forward(lon, lat, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    t0, t1, t2 = _t(phi0, e), _t(phi1, e), _t(phi2, e)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F_ = m1 / (n * t1 ** n)
+    rho0 = a * F_ * t0 ** n
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    t = _t(phi, e)
+    rho = a * F_ * t ** n
+    theta = n * (lam - lam0)
+    x = p["x_0"] + rho * np.sin(theta)
+    y = p["y_0"] + rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def lcc2sp_inverse(x, y, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    t0, t1, t2 = _t(phi0, e), _t(phi1, e), _t(phi2, e)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F_ = m1 / (n * t1 ** n)
+    rho0 = a * F_ * t0 ** n
+
+    xp = np.asarray(x, dtype=np.float64) - p["x_0"]
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - p["y_0"])
+    rho = np.sign(n) * np.sqrt(xp * xp + yp * yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    t = (rho / (a * F_)) ** (1.0 / n)
+    phi = _phi_from_t(t, e)
+    lam = theta / n + lam0
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic (Snyder 14-1..14-11)
+# ---------------------------------------------------------------------------
+
+def albers_forward(lon, lat, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    q0, q1, q2 = _q(phi0, e), _q(phi1, e), _q(phi2, e)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    q = _q(phi, e)
+    rho = a * np.sqrt(C - n * q) / n
+    theta = n * (lam - lam0)
+    x = p["x_0"] + rho * np.sin(theta)
+    y = p["y_0"] + rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def albers_inverse(x, y, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    q0, q1, q2 = _q(phi0, e), _q(phi1, e), _q(phi2, e)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    xp = np.asarray(x, dtype=np.float64) - p["x_0"]
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - p["y_0"])
+    rho = np.sqrt(xp * xp + yp * yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    q = (C - (rho * n / a) ** 2) / n
+    phi = _phi_from_q(q, e)
+    lam = theta / n + lam0
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal-Area, oblique (Snyder 24-2..24-16, 3-11/3-12)
+# ---------------------------------------------------------------------------
+
+def laea_forward(lon, lat, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    qp = _q(np.pi / 2.0, e)
+    rq = a * math.sqrt(qp / 2.0)
+    q0 = _q(phi0, e)
+    beta0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    d = a * _m(phi0, e2) / (rq * math.cos(beta0))
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    q = _q(phi, e)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    dlam = lam - lam0
+    b = rq * np.sqrt(
+        2.0
+        / (
+            1.0
+            + math.sin(beta0) * np.sin(beta)
+            + math.cos(beta0) * np.cos(beta) * np.cos(dlam)
+        )
+    )
+    x = p["x_0"] + b * d * np.cos(beta) * np.sin(dlam)
+    y = p["y_0"] + (b / d) * (
+        math.cos(beta0) * np.sin(beta)
+        - math.sin(beta0) * np.cos(beta) * np.cos(dlam)
+    )
+    return x, y
+
+
+def laea_inverse(x, y, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    phi0, lam0 = math.radians(p["lat_0"]), math.radians(p["lon_0"])
+    qp = _q(np.pi / 2.0, e)
+    rq = a * math.sqrt(qp / 2.0)
+    q0 = _q(phi0, e)
+    beta0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    d = a * _m(phi0, e2) / (rq * math.cos(beta0))
+
+    xp = (np.asarray(x, dtype=np.float64) - p["x_0"]) / d
+    yp = (np.asarray(y, dtype=np.float64) - p["y_0"]) * d
+    rho = np.sqrt(xp * xp + yp * yp)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        beta = np.where(
+            rho == 0.0,
+            beta0,
+            np.arcsin(
+                np.clip(
+                    np.cos(ce) * math.sin(beta0)
+                    + (yp * np.sin(ce) * math.cos(beta0)) / np.where(rho == 0, 1, rho),
+                    -1.0,
+                    1.0,
+                )
+            ),
+        )
+        lam = lam0 + np.where(
+            rho == 0.0,
+            0.0,
+            np.arctan2(
+                xp * np.sin(ce),
+                rho * math.cos(beta0) * np.cos(ce)
+                - yp * math.sin(beta0) * np.sin(ce),
+            ),
+        )
+    q = qp * np.sin(beta)
+    phi = _phi_from_q(q, e)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic, variant B (Snyder 21-1..21-40)
+# ---------------------------------------------------------------------------
+
+def ps_forward(lon, lat, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    north = p["lat_ts"] > 0
+    phi_ts = math.radians(abs(p["lat_ts"]))
+    lam0 = math.radians(p["lon_0"])
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    t_c = _t(phi_ts, e)
+    m_c = _m(phi_ts, e2)
+    if north:
+        t = _t(phi, e)
+        rho = a * m_c * t / t_c
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+    else:
+        t = _t(-phi, e)
+        rho = a * m_c * t / t_c
+        x = rho * np.sin(lam)
+        y = rho * np.cos(lam)
+    return p["x_0"] + x, p["y_0"] + y
+
+
+def ps_inverse(x, y, p):
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e2 = _e2(f)
+    e = math.sqrt(e2)
+    north = p["lat_ts"] > 0
+    phi_ts = math.radians(abs(p["lat_ts"]))
+    lam0 = math.radians(p["lon_0"])
+
+    xp = np.asarray(x, dtype=np.float64) - p["x_0"]
+    yp = np.asarray(y, dtype=np.float64) - p["y_0"]
+    rho = np.sqrt(xp * xp + yp * yp)
+    t_c = _t(phi_ts, e)
+    m_c = _m(phi_ts, e2)
+    t = rho * t_c / (a * m_c)
+    if north:
+        phi = _phi_from_t(t, e)
+        lam = np.arctan2(xp, -yp)
+    else:
+        phi = -_phi_from_t(t, e)
+        lam = np.arctan2(xp, yp)
+    return np.degrees(lam + lam0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry + any-to-any transform
+# ---------------------------------------------------------------------------
+
+#: EPSG -> (projection family, parameters). Public parameter sets from
+#: the EPSG registry (epsg.org).
+EPSG_PARAMS: Dict[int, Tuple[str, dict]] = {
+    # RGF93 / Lambert-93 (France)
+    2154: ("lcc2sp", dict(ellps="GRS80", lat_1=49.0, lat_2=44.0, lat_0=46.5,
+                          lon_0=3.0, x_0=700000.0, y_0=6600000.0)),
+    # NAD83 / Canada Atlas Lambert
+    3978: ("lcc2sp", dict(ellps="GRS80", lat_1=49.0, lat_2=77.0, lat_0=49.0,
+                          lon_0=-95.0, x_0=0.0, y_0=0.0)),
+    # NAD83 / Conus Albers
+    5070: ("albers", dict(ellps="GRS80", lat_1=29.5, lat_2=45.5, lat_0=23.0,
+                          lon_0=-96.0, x_0=0.0, y_0=0.0)),
+    # GDA94 / Australian Albers
+    3577: ("albers", dict(ellps="GRS80", lat_1=-18.0, lat_2=-36.0, lat_0=0.0,
+                          lon_0=132.0, x_0=0.0, y_0=0.0)),
+    # ETRS89-extended / LAEA Europe
+    3035: ("laea", dict(ellps="GRS80", lat_0=52.0, lon_0=10.0,
+                        x_0=4321000.0, y_0=3210000.0)),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: ("ps", dict(ellps="WGS84", lat_ts=70.0, lon_0=-45.0, x_0=0.0, y_0=0.0)),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: ("ps", dict(ellps="WGS84", lat_ts=-71.0, lon_0=0.0, x_0=0.0, y_0=0.0)),
+}
+
+_FWD = {"lcc2sp": lcc2sp_forward, "albers": albers_forward,
+        "laea": laea_forward, "ps": ps_forward}
+_INV = {"lcc2sp": lcc2sp_inverse, "albers": albers_inverse,
+        "laea": laea_inverse, "ps": ps_inverse}
+
+
+def _epsg_code(crs: str) -> int:
+    c = str(crs).strip().upper()
+    if c.startswith("EPSG:"):
+        return int(c[5:])
+    if c.isdigit():
+        return int(c)
+    raise ValueError(f"unsupported CRS spec {crs!r} (EPSG:<code> expected)")
+
+
+def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
+    code = _epsg_code(crs)
+    if code == 4326:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if code == 3857:
+        return kcrs.web_mercator_to_wgs84(x, y)
+    if 32601 <= code <= 32660:
+        return kcrs.utm_to_wgs84(x, y, code - 32600, south=False)
+    if 32701 <= code <= 32760:
+        return kcrs.utm_to_wgs84(x, y, code - 32700, south=True)
+    if code in EPSG_PARAMS:
+        fam, p = EPSG_PARAMS[code]
+        return _INV[fam](x, y, p)
+    raise ValueError(f"EPSG:{code} not in registry (add params to EPSG_PARAMS)")
+
+
+def from_wgs84(lon: ArrayLike, lat: ArrayLike, crs: str):
+    code = _epsg_code(crs)
+    if code == 4326:
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if code == 3857:
+        return kcrs.wgs84_to_web_mercator(lon, lat)
+    if 32601 <= code <= 32660:
+        return kcrs.wgs84_to_utm(lon, lat, code - 32600, south=False)
+    if 32701 <= code <= 32760:
+        return kcrs.wgs84_to_utm(lon, lat, code - 32700, south=True)
+    if code in EPSG_PARAMS:
+        fam, p = EPSG_PARAMS[code]
+        return _FWD[fam](lon, lat, p)
+    raise ValueError(f"EPSG:{code} not in registry (add params to EPSG_PARAMS)")
+
+
+def transform_points(x: ArrayLike, y: ArrayLike, src_crs: str, dst_crs: str):
+    """Any-to-any point transform (``rasterio.warp.transform`` /
+    ``transform_geom`` analog): src -> WGS84 lon/lat -> dst."""
+    if kcrs.compare_crs(src_crs, dst_crs):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    lon, lat = to_wgs84(x, y, src_crs)
+    return from_wgs84(lon, lat, dst_crs)
+
+
+def supported_epsg() -> list:
+    out = [4326, 3857] + list(EPSG_PARAMS)
+    out += list(range(32601, 32661)) + list(range(32701, 32761))
+    return sorted(out)

@@ -138,6 +138,22 @@ def _label_graph_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame
     iterative min-label propagation + pointer jumping — O(log D) rounds,
     fully distributed (no pixel rows ever reach the driver).
     Input: symmetric (la, lb) pairs. Output: (label, component)."""
+    spark = pairs.sparkSession
+    pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    # scope shuffle width to the label graph: it is O(boundary labels),
+    # orders of magnitude below the pixel count the session is sized
+    # for — 256-partition exchanges per round are pure scheduling waste
+    parts = int(max(8, min(256, n_pairs // 100_000 + 8)))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _label_graph_components_loop(pairs, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _label_graph_components_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
     comp = (
         pairs.select(F.col("la").alias("label"))
         .distinct()
@@ -181,20 +197,18 @@ def _label_graph_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame
     return comp
 
 
-def connected_components(
+def merged_pixel_labels(
     raster: DataFrame,
     height: int,
     width: int,
     tile: int = 128,
-    min_area: float = 0.0,
     predicate_col: str = "value",
     fill: float = 0.0,
 ) -> DataFrame:
-    """Label connected regions of ``value != fill`` across the whole
-    grid; returns per-component stats
-    ``(component, n_pixels, min_row, min_col, max_row, max_col)`` where
-    ``component`` is the canonical id: min(row*width+col) over the
-    component's pixels (tile-size independent, oracle-comparable)."""
+    """The shared CCL core: per-tile labeling + distributed boundary
+    merge. Returns ``(comp_label, row, col)`` — one row per foreground
+    pixel with a globally consistent (but tile-derived) component label.
+    Callers canonicalize ids in their own aggregation."""
     keyed = raster.where(F.col(predicate_col) != F.lit(fill)).withColumns(
         {
             "tile_row": F.floor(F.col("row") / F.lit(tile)).cast("long"),
@@ -233,13 +247,44 @@ def connected_components(
     labeled.count()  # materialize once; edges + final agg reuse it
 
     edges = labeled.where(F.col("on_edge")).select("label", "row", "col")
-    pairs = _boundary_pairs(edges)
-    mapping = _label_graph_components(pairs)
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    # the whole merge works on boundary strips: O(perimeter) rows,
+    # orders below the session's pixel-scale shuffle width — size its
+    # exchanges accordingly (restored after)
+    spark = raster.sparkSession
+    parts = int(max(8, min(256, n_edges // 500_000 + 8)))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        pairs = _boundary_pairs(edges)
+        mapping = _label_graph_components(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     merged = labeled.join(F.broadcast(mapping), "label", "left").select(
         F.coalesce("comp", "label").alias("comp_label"), "row", "col"
     )
+    merged = merged.localCheckpoint(eager=True)
+    labeled.unpersist()
+    return merged
 
+
+def connected_components(
+    raster: DataFrame,
+    height: int,
+    width: int,
+    tile: int = 128,
+    min_area: float = 0.0,
+    predicate_col: str = "value",
+    fill: float = 0.0,
+) -> DataFrame:
+    """Label connected regions of ``value != fill`` across the whole
+    grid; returns per-component stats
+    ``(component, n_pixels, min_row, min_col, max_row, max_col)`` where
+    ``component`` is the canonical id: min(row*width+col) over the
+    component's pixels (tile-size independent, oracle-comparable)."""
+    merged = merged_pixel_labels(raster, height, width, tile, predicate_col, fill)
     stats = (
         merged.groupBy("comp_label")
         .agg(
@@ -256,5 +301,71 @@ def connected_components(
     )
     if min_area > 0:
         stats = stats.where(F.col("n_pixels") >= F.lit(min_area))
-    labeled.unpersist()
     return stats
+
+
+def polygonize(
+    raster: DataFrame,
+    height: int,
+    width: int,
+    transform=None,
+    tile: int = 128,
+    min_area: float = 25.5,
+    tolerance: float = 1.0,
+    predicate_col: str = "value",
+    fill: float = 0.0,
+) -> DataFrame:
+    """``vectorize.get_polygons`` end-to-end (reference
+    vectorize.py:151-268): distributed CCL, then per-component exterior
+    boundary tracing + hole rings, min-area filter, Douglas-Peucker
+    ``simplify(tolerance)`` and affine transform — in the reference's
+    exact order (trace -> min_area -> simplify -> transform,
+    vectorize.py:258-266; polygon_buffer=0).
+
+    The trace is a grouped gather per component: components are small
+    after min-area filtering (the reference's own assumption — it holds
+    whole masks in memory), so the per-group UDF sees only one
+    component's pixels. Output is long-form, SQL-comparable:
+    ``(component, ring, is_hole, vtx, x, y)`` with ``component`` the
+    canonical min-pixel-index id, rings ordered exterior-first, vertices
+    in trace order starting at the ring's lexicographic minimum.
+    """
+    from ..kernels.tracing import component_rings, shoelace_area, simplify_ring
+
+    merged = merged_pixel_labels(raster, height, width, tile, predicate_col, fill)
+    out_schema = (
+        "component long, ring int, is_hole boolean, vtx int, x double, y double"
+    )
+
+    def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf["row"].to_numpy()
+        cols = pdf["col"].to_numpy()
+        if len(rows) < min_area:  # polygon area == pixel count (units^2)
+            return pd.DataFrame(
+                columns=["component", "ring", "is_hole", "vtx", "x", "y"]
+            ).astype(
+                {"component": "int64", "ring": "int32", "is_hole": "bool",
+                 "vtx": "int32", "x": "float64", "y": "float64"}
+            )
+        comp_id = int((rows * width + cols).min())
+        rings = component_rings(zip(rows.tolist(), cols.tolist()))
+        out = {"component": [], "ring": [], "is_hole": [], "vtx": [],
+               "x": [], "y": []}
+        for ri, ring in enumerate(rings):
+            hole = shoelace_area(ring) < 0
+            simp = simplify_ring(ring, tolerance)
+            xs, ys = simp[:, 0], simp[:, 1]
+            if transform is not None:
+                gx = transform.c + xs * transform.a + ys * transform.b
+                gy = transform.f + xs * transform.d + ys * transform.e
+                xs, ys = gx, gy
+            n = len(simp)
+            out["component"].extend([comp_id] * n)
+            out["ring"].extend([ri] * n)
+            out["is_hole"].extend([hole] * n)
+            out["vtx"].extend(range(n))
+            out["x"].extend(xs.tolist())
+            out["y"].extend(ys.tolist())
+        return pd.DataFrame(out)
+
+    return merged.groupBy("comp_label").applyInPandas(trace, out_schema)

@@ -1833,6 +1833,59 @@ FROM ev JOIN esun_t ON ev.band = esun_t.band
 
 Q_REFLECTANCE_ESUN_LUT_SQL = _reflectance_esun_lut_sql()
 
+def q_polygonize(spark, sf_dir):
+    """vectorize.get_polygons (vectorize.py:151-268): distributed CCL ->
+    exterior+hole boundary tracing -> min_area -> simplify(tolerance=1)
+    -> affine transform, long-form vertices. Rows-only (iterative trace;
+    pytest goldens check ring geometry and the area invariant)."""
+    from .operators.vectorize import polygonize
+
+    H = W = 96
+    df = spark.range(0, H * W, 1, 32)
+    row = F.floor(F.col("id") / F.lit(W)).cast("long")
+    col = (F.col("id") % F.lit(W)).cast("long")
+    block = (F.floor(row / 6) * F.lit(W // 6) + F.floor(col / 6)).cast("long")
+    val = F.pmod(block * F.lit(2654435761), F.lit(10000)).cast("double")
+    src = df.select(
+        row.alias("row"),
+        col.alias("col"),
+        F.when(val < 7000, F.lit(0.0)).otherwise(val).alias("value"),
+    )
+    t = Affine.from_origin(-10.0, 60.0, 0.25, 0.25)
+    out = polygonize(src, H, W, transform=t, tile=32, min_area=40, tolerance=1.0)
+    return out.select(
+        "component", "ring", "is_hole", "vtx",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+
+
+def q_transform_crs(spark, sf_dir):
+    """General CRS transform (polygon_to_crs beyond UTM/web-mercator —
+    window_utils.py:1043-1122): project event points into ETRS89-LAEA
+    (EPSG:3035) and Lambert-93 (EPSG:2154) via the proj kernel router,
+    round-trip back to WGS84. Rows-only (Snyder series + Newton
+    inversions are not SQL-expressible); pytest asserts round-trip
+    error < 1e-9 deg and the published EPSG:3035 example value."""
+    from .functions.geo import transform_points_udf
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    to3035 = transform_points_udf("EPSG:4326", "EPSG:3035")
+    back = transform_points_udf("EPSG:3035", "EPSG:4326")
+    proj = pts.select("event_id", to3035(F.col("lon"), F.col("lat")).alias("laea"))
+    rt = proj.withColumn("rt", back(F.col("laea.x"), F.col("laea.y")))
+    return rt.select(
+        "event_id",
+        F.round(F.col("laea.x"), 3).alias("laea_x"),
+        F.round(F.col("laea.y"), 3).alias("laea_y"),
+        F.round(F.col("rt.x"), 9).alias("lon_rt"),
+        F.round(F.col("rt.y"), 9).alias("lat_rt"),
+    )
+
+
 REGISTRY.update(
-    {"reflectance_esun_lut": (q_reflectance_esun_lut, Q_REFLECTANCE_ESUN_LUT_SQL)}
+    {
+        "reflectance_esun_lut": (q_reflectance_esun_lut, Q_REFLECTANCE_ESUN_LUT_SQL),
+        "raster_polygonize": (q_polygonize, None),
+        "geo_transform_crs": (q_transform_crs, None),
+    }
 )

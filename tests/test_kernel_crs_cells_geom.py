@@ -296,3 +296,84 @@ class TestText:
     def test_quality_score_range(self):
         for t in ["", "short", "the and of " * 50, "!!!???" * 20]:
             assert 0.0 <= T.quality_score(t) <= 1.0
+
+
+class TestProjGeneral:
+    """General-CRS kernel (kernels/proj.py): LCC/Albers/LAEA/PS."""
+
+    DOMAINS = {
+        2154: (-4.5, 8.5, 42.0, 51.0),
+        3978: (-135.0, -55.0, 42.0, 80.0),
+        5070: (-120.0, -75.0, 25.0, 48.0),
+        3577: (115.0, 152.0, -42.0, -12.0),
+        3035: (-10.0, 30.0, 35.0, 68.0),
+        3413: (-180.0, 180.0, 62.0, 89.5),
+        3031: (-180.0, 180.0, -89.5, -62.0),
+    }
+
+    def test_roundtrip_all_registered(self):
+        from georeader_spark.kernels import proj as P
+
+        rng = np.random.default_rng(1)
+        for code, (lo0, lo1, la0, la1) in self.DOMAINS.items():
+            lon = rng.uniform(lo0, lo1, 300)
+            lat = rng.uniform(la0, la1, 300)
+            x, y = P.from_wgs84(lon, lat, f"EPSG:{code}")
+            lon2, lat2 = P.to_wgs84(x, y, f"EPSG:{code}")
+            dlon = np.abs((lon2 - lon + 180) % 360 - 180).max()
+            assert max(dlon, np.abs(lat2 - lat).max()) < 1e-9, code
+
+    def test_center_anchors(self):
+        from georeader_spark.kernels import proj as P
+
+        x, y = P.from_wgs84(10.0, 52.0, "EPSG:3035")
+        np.testing.assert_allclose([x, y], [4321000.0, 3210000.0], atol=1e-6)
+        x, y = P.from_wgs84(3.0, 46.5, "EPSG:2154")
+        np.testing.assert_allclose([x, y], [700000.0, 6600000.0], atol=1e-6)
+        x, y = P.from_wgs84(0.0, -90.0, "EPSG:3031")
+        np.testing.assert_allclose([x, y], [0.0, 0.0], atol=1e-6)
+
+    def test_epsg3035_published_example(self):
+        # EPSG guidance-note example for ETRS89-LAEA: (5E, 50N) ->
+        # (3962799.45, 2999718.85)
+        from georeader_spark.kernels import proj as P
+
+        x, y = P.from_wgs84(5.0, 50.0, "EPSG:3035")
+        np.testing.assert_allclose([x, y], [3962799.45, 2999718.85], atol=0.01)
+
+    def test_lcc_scale_at_standard_parallels(self):
+        import math
+
+        from georeader_spark.kernels import proj as P
+
+        a, f = P.ELLIPSOIDS["GRS80"]
+        e2 = f * (2 - f)
+        for lat_sp, expect in ((44.0, 1.0), (49.0, 1.0)):
+            d = 1e-6
+            x1, y1 = P.from_wgs84(3.0, lat_sp - d / 2, "EPSG:2154")
+            x2, y2 = P.from_wgs84(3.0, lat_sp + d / 2, "EPSG:2154")
+            s = math.sin(math.radians(lat_sp))
+            M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+            k = math.hypot(float(x2 - x1), float(y2 - y1)) / (M * math.radians(d))
+            assert abs(k - expect) < 1e-6
+
+    def test_any_to_any_chain(self):
+        from georeader_spark.kernels import proj as P
+
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-4, 8, 100)
+        lat = rng.uniform(42, 51, 100)
+        x, y = P.from_wgs84(lon, lat, "EPSG:2154")
+        u, v = P.transform_points(x, y, "EPSG:2154", "EPSG:3035")
+        x2, y2 = P.transform_points(u, v, "EPSG:3035", "EPSG:2154")
+        assert float(np.abs(x2 - x).max()) < 1e-6
+        assert float(np.abs(y2 - y).max()) < 1e-6
+
+    def test_polygon_transform(self):
+        from georeader_spark.kernels.geometry import transform_polygon_crs
+
+        ring = np.array([[0.0, 45.0], [5.0, 45.0], [5.0, 50.0], [0.0, 50.0],
+                         [0.0, 45.0]])
+        out = transform_polygon_crs([ring], "EPSG:4326", "EPSG:3035")
+        back = transform_polygon_crs(out, "EPSG:3035", "EPSG:4326")
+        np.testing.assert_allclose(back[0], ring, atol=1e-9)

@@ -145,6 +145,93 @@ class TestDistributedCCL:
         assert 0 < len(big_c) < len(all_c)
 
 
+class TestTracing:
+    def test_known_shapes(self):
+        from georeader_spark.kernels.tracing import component_rings, shoelace_area
+
+        # square
+        r = component_rings([(0, 0)])
+        assert len(r) == 1
+        assert r[0].tolist() == [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        # donut: exterior 9, hole -1
+        pix = [(i, j) for i in range(3) for j in range(3) if (i, j) != (1, 1)]
+        rings = component_rings(pix)
+        assert sorted(round(shoelace_area(x)) for x in rings) == [-1, 9]
+        # diagonal self-touch pinches into ONE ring (GDAL behavior)
+        c_shape = [(0, 1), (0, 2), (1, 2), (2, 2), (2, 1), (2, 0), (1, 0)]
+        rings = component_rings(c_shape)
+        assert len(rings) == 1 and round(shoelace_area(rings[0])) == 7
+
+    def test_area_invariant_random(self):
+        from georeader_spark.kernels.tracing import component_rings, shoelace_area
+
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            mask = rng.random((20, 20)) < 0.5
+            for pix in flood_fill_components(mask):
+                rings = component_rings(pix)
+                total = sum(shoelace_area(r) for r in rings)
+                assert round(total) == len(pix)
+
+    def test_douglas_peucker(self):
+        from georeader_spark.kernels.tracing import douglas_peucker
+
+        # staircase within tolerance 1 collapses to its endpoints' chord
+        pts = np.array([[0, 0], [1, 0], [1, 1], [2, 1], [2, 2], [3, 2], [3, 3]],
+                       dtype=float)
+        out = douglas_peucker(pts, 1.0)
+        assert out.tolist() == [[0, 0], [3, 3]]
+        out = douglas_peucker(pts, 0.1)
+        assert len(out) > 2
+
+
+class TestPolygonize:
+    def test_matches_kernel_and_transform(self, spark):
+        from georeader_spark.kernels.affine import Affine
+        from georeader_spark.kernels.tracing import component_rings, simplify_ring
+        from georeader_spark.operators.vectorize import polygonize
+
+        H = W = 64
+        mask = np.zeros((H, W), dtype=bool)
+        mask[10:20, 10:40] = True       # rectangle across 2 tiles
+        mask[30:45, 5:15] = True
+        mask[33:40, 8:11] = False       # hole
+        mask[50, 50] = True             # singleton below min_area
+        t = Affine.from_origin(0.0, 64.0, 0.5, 0.5)
+        got = polygonize(
+            _mask_to_df(spark, mask), H, W, transform=t, tile=32,
+            min_area=4, tolerance=1.0,
+        ).collect()
+        comps = {}
+        for r in got:
+            comps.setdefault(r["component"], {}).setdefault(
+                r["ring"], []
+            ).append((r["vtx"], r["x"], r["y"], r["is_hole"]))
+        # singleton filtered, two components survive
+        assert len(comps) == 2
+        # oracle: same kernel over flood-fill components
+        expect = {}
+        for pix in flood_fill_components(mask):
+            if len(pix) < 4:
+                continue
+            comp = min(y * W + x for y, x in pix)
+            rings = [simplify_ring(r, 1.0) for r in component_rings(pix)]
+            expect[comp] = rings
+        assert set(comps) == set(expect)
+        for comp, rings in expect.items():
+            got_rings = comps[comp]
+            assert len(got_rings) == len(rings)
+            for ri, ring in enumerate(rings):
+                verts = [(x, y) for _, x, y, _ in sorted(got_rings[ri])]
+                gx = 0.0 + ring[:, 0] * 0.5
+                gy = 64.0 + ring[:, 1] * -0.5
+                np.testing.assert_allclose(verts, np.column_stack([gx, gy]))
+        # the holed component reports exactly one hole ring
+        holed = [c for c in comps.values() if len(c) > 1]
+        assert len(holed) == 1
+        assert any(v[3] for ring in holed[0].values() for v in ring)
+
+
 class TestRasterize:
     GEOMS = [
         (1, 10.0, np.array([[2.0, 2.0], [20.0, 2.0], [20.0, 20.0], [2.0, 20.0]])),

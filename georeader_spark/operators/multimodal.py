@@ -91,16 +91,25 @@ def media_features(media: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = _fake_decode(bytes(r["payload"]), int(r["width"]), int(r["height"]))
+            # zip over column arrays, not iterrows (row boxing is the
+            # slow path; per-payload decode is inherently per-row, the
+            # numpy work inside is vectorized)
+            for mid, kind, width, height, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(),
+                pdf["payload"],
+            ):
+                arr = _fake_decode(bytes(payload), int(width), int(height))
                 # 4x4 block-mean thumbnail -> fingerprint
                 th = arr[: arr.shape[0] // 4 * 4, : arr.shape[1] // 4 * 4]
                 th = th.reshape(4, th.shape[0] // 4, 4, th.shape[1] // 4).mean(axis=(1, 3))
                 fp = hashlib.md5(th.astype(np.uint8).tobytes()).hexdigest()
                 rows.append(
                     {
-                        "media_id": int(r["media_id"]),
-                        "kind": r["kind"],
+                        "media_id": int(mid),
+                        "kind": kind,
                         "mean_intensity": float(arr.mean()),
                         "std_intensity": float(arr.std()),
                         "thumb_fp": fp,

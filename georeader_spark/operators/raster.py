@@ -261,6 +261,70 @@ def block_mean_downsample(
     )
 
 
+def build_overview_pyramid(
+    raster: DataFrame, levels: int, keys: tuple[str, ...] = ("raster_id", "band")
+) -> DataFrame:
+    """Persisted LOD/overview pyramid (the COG overview table the
+    round-1 engine lacked; reference reads pyramid levels at
+    rasterio_reader.py:930-1044). Level k halves resolution k times by
+    2x2 block mean, each level computed FROM the previous (one partial
+    aggregation per level, exactly how COG overviews are built).
+    Returns one long table with a ``level`` column; in production each
+    level is written to its own partition of the pyramid table."""
+    out = raster.withColumn("level", F.lit(0))
+    cur = raster
+    for k in range(1, levels + 1):
+        cur = block_mean_downsample(cur, 2, keys=keys).localCheckpoint(eager=False)
+        out = out.unionByName(cur.withColumn("level", F.lit(k)))
+    return out
+
+
+def save_pyramid(pyramid: DataFrame, path: str) -> None:
+    """COG-style sink (save_cog analog, SURVEY §2.1 #10): the pyramid
+    written level-partitioned so ``read_out_shape_pyramid``'s level
+    filter becomes partition PRUNING at the source — a 12x12 read of a
+    10^12-pixel raster touches only the deepest level's files."""
+    pyramid.write.mode("overwrite").partitionBy("level").parquet(path)
+
+
+def select_overview_level(
+    src_h: int, src_w: int, out_h: int, out_w: int, max_level: int
+) -> int:
+    """Resolution-aware level choice (rasterio's overview selection in
+    read_out_shape, rasterio_reader.py:1457-1557): the deepest level
+    still at least as fine as the requested output."""
+    import math
+
+    f = min(src_h / out_h, src_w / out_w)
+    if f <= 1.0:
+        return 0
+    return max(0, min(max_level, int(math.floor(math.log2(f)))))
+
+
+def read_out_shape_pyramid(
+    pyramid: DataFrame,
+    src_h: int,
+    src_w: int,
+    out_h: int,
+    out_w: int,
+    max_level: int,
+    keys: tuple[str, ...] = ("raster_id", "band"),
+) -> DataFrame:
+    """``read_out_shape`` against the pyramid: select the appropriate
+    overview level (partition-pruned scan — ``level`` is the partition
+    key in production), then block-mean the residual factor. Reading
+    1/64 of the pixels instead of decimating the base level is the
+    whole point of the pyramid at 100 TB."""
+    lvl = select_overview_level(src_h, src_w, out_h, out_w, max_level)
+    scale = 1 << lvl
+    lh, lw = src_h // scale, src_w // scale
+    fh = max(lh // out_h, 1)
+    sel = pyramid.where(F.col("level") == F.lit(lvl)).drop("level")
+    if fh == 1:
+        return sel
+    return block_mean_downsample(sel, fh, keys=keys)
+
+
 def band_stats(raster: DataFrame) -> DataFrame:
     """Per-band reductions (ufunc-reduction analog, geotensor.py:324-405)."""
     return raster.groupBy("band").agg(

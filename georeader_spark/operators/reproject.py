@@ -101,20 +101,24 @@ def tile_blocked_to_long(tiles: DataFrame, tile: int = TILE) -> DataFrame:
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                block = np.frombuffer(r["payload"], dtype=np.float64).reshape(
-                    r["height"], r["width"]
-                )
-                rr, cc = np.meshgrid(
-                    np.arange(r["height"]), np.arange(r["width"]), indexing="ij"
-                )
+            for rid, band, trow, tcol, h, w, payload in zip(
+                pdf["raster_id"].to_numpy(),
+                pdf["band"].to_numpy(),
+                pdf["tile_row"].to_numpy(),
+                pdf["tile_col"].to_numpy(),
+                pdf["height"].to_numpy(),
+                pdf["width"].to_numpy(),
+                pdf["payload"],
+            ):
+                block = np.frombuffer(payload, dtype=np.float64).reshape(h, w)
+                rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 outs.append(
                     pd.DataFrame(
                         {
-                            "raster_id": r["raster_id"],
-                            "band": r["band"],
-                            "row": (r["tile_row"] * tile + rr.ravel()).astype("int64"),
-                            "col": (r["tile_col"] * tile + cc.ravel()).astype("int64"),
+                            "raster_id": rid,
+                            "band": band,
+                            "row": (trow * tile + rr.ravel()).astype("int64"),
+                            "col": (tcol * tile + cc.ravel()).astype("int64"),
                             "value": block.ravel(),
                         }
                     )
@@ -274,6 +278,115 @@ def resample_tiles(
 
     return gathered.groupBy("raster_id", "band", "dst_trow", "dst_tcol").applyInPandas(
         warp, out_schema
+    )
+
+
+def griddata_interpolate(
+    points: DataFrame,
+    dst_transform: Affine,
+    dst_shape: Tuple[int, int],
+    method: str = "linear",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+    tile: int = TILE,
+    margin_px: int = 32,
+    fill: float = float("nan"),
+) -> DataFrame:
+    """Scattered points -> regular grid, ``griddata.reproject``
+    semantics (/root/reference/georeader/griddata.py:286-440):
+    ``linear`` = Delaunay barycentric (kernels/delaunay.py, scipy's
+    LinearNDInterpolator twin), ``nearest`` = Voronoi.
+
+    Distributed as a tile-gather: each point is replicated to every
+    output tile whose bounds + ``margin_px``-pixel margin contain it
+    (pure expressions, one explode), then a grouped Arrow UDF
+    triangulates the tile's gathered points and interpolates that
+    tile's pixel centers. Tile-local triangulation equals the global
+    one wherever the margin exceeds the local circumradii — margin_px
+    trades exactness at sparse edges for gather volume (the same
+    locality assumption the reference makes when it windows its input,
+    griddata.py:askel). Output: long rows (row, col, value).
+    """
+    spark = points.sparkSession
+    H, W = dst_shape
+    n_trow = math.ceil(H / tile)
+    n_tcol = math.ceil(W / tile)
+
+    # fractional pixel coords of each point under the dst grid
+    px = (F.col(x_col) - F.lit(dst_transform.c)) / F.lit(dst_transform.a)
+    py = (F.col(y_col) - F.lit(dst_transform.f)) / F.lit(dst_transform.e)
+    pts = points.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col(value_col).alias("_v"),
+        px.alias("_px"),
+        py.alias("_py"),
+    ).where(
+        # points beyond the margin cannot influence any tile; also keeps
+        # the tile-range sequences non-descending (F.sequence reverses
+        # when start > stop)
+        (F.col("_px") >= -margin_px)
+        & (F.col("_px") <= W + margin_px)
+        & (F.col("_py") >= -margin_px)
+        & (F.col("_py") <= H + margin_px)
+    )
+    t0r = F.greatest(
+        F.lit(0), F.floor((F.col("_py") - margin_px) / tile).cast("int")
+    )
+    t1r = F.least(
+        F.lit(n_trow - 1), F.floor((F.col("_py") + margin_px) / tile).cast("int")
+    )
+    t0c = F.greatest(
+        F.lit(0), F.floor((F.col("_px") - margin_px) / tile).cast("int")
+    )
+    t1c = F.least(
+        F.lit(n_tcol - 1), F.floor((F.col("_px") + margin_px) / tile).cast("int")
+    )
+    gathered = (
+        pts.withColumn("_tr", F.explode(F.sequence(t0r, t1r)))
+        .withColumn("_tc", F.explode(F.sequence(t0c, t1c)))
+        .where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+    )
+
+    a, b_, c_, d_, e_, f_ = (
+        dst_transform.a, dst_transform.b, dst_transform.c,
+        dst_transform.d, dst_transform.e, dst_transform.f,
+    )
+
+    def interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.delaunay import linear_interpolate
+
+        trow, tcol = int(key[0]), int(key[1])
+        h = min(tile, H - trow * tile)
+        w = min(tile, W - tcol * tile)
+        rr, cc = np.meshgrid(
+            np.arange(trow * tile, trow * tile + h),
+            np.arange(tcol * tile, tcol * tile + w),
+            indexing="ij",
+        )
+        gx = c_ + (cc + 0.5) * a + (rr + 0.5) * b_
+        gy = f_ + (cc + 0.5) * d_ + (rr + 0.5) * e_
+        px_ = pdf["_x"].to_numpy()
+        py_ = pdf["_y"].to_numpy()
+        pv = pdf["_v"].to_numpy()
+        if method == "linear":
+            vals = linear_interpolate(
+                np.column_stack([px_, py_]), pv, gx.ravel(), gy.ravel(), fill=fill
+            )
+        elif method == "nearest":
+            d2 = (gx.ravel()[:, None] - px_[None, :]) ** 2 + (
+                gy.ravel()[:, None] - py_[None, :]
+            ) ** 2
+            vals = pv[np.argmin(d2, axis=1)]
+        else:
+            raise ValueError(f"unsupported method {method!r}")
+        return pd.DataFrame(
+            {"row": rr.ravel(), "col": cc.ravel(), "value": vals}
+        )
+
+    return gathered.groupBy("_tr", "_tc").applyInPandas(
+        interp, "row long, col long, value double"
     )
 
 

@@ -112,8 +112,14 @@ def pages_pipeline(
     spark: SparkSession,
     n_rows: int = 20000,
     pages_df: DataFrame | None = None,
+    repartition: bool = True,
+    lineage_cut: bool = True,
 ) -> DataFrame:
-    """End-to-end: returns per-(cell, poly_id) page counts."""
+    """End-to-end: returns per-(cell, poly_id) page counts.
+
+    ``repartition=False`` keeps the scan partitioning through the
+    lineage cut (no exchange) — correct when the input splits are
+    already balanced (e.g. the bench's uniform parquet files)."""
     pages = pages_df if pages_df is not None else synth_pages(spark, n_rows)
     extracted = extract_stage(pages)
     # invariant gate: rows failing byte-identity would fall out here —
@@ -133,11 +139,11 @@ def pages_pipeline(
     # worse than a 1 s materialization. At production scale this
     # boundary is the Iceberg checkpoint of the extract stage
     # (plans/lineage.StageStore); localCheckpoint is its local twin.
-    slim = (
-        encoded.select("url", "lon", "lat", "cell")
-        .repartition(2 * spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
-    )
+    slim = encoded.select("url", "lon", "lat", "cell")
+    if repartition:
+        slim = slim.repartition(2 * spark.sparkContext.defaultParallelism)
+    if lineage_cut:
+        slim = slim.localCheckpoint(eager=False)
     joined = pip_join(slim, pip_polytable(), r=6)
     tiled = assign_points_to_tiles(
         joined, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"

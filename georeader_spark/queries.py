@@ -1859,6 +1859,53 @@ def q_polygonize(spark, sf_dir):
     )
 
 
+def q_lod_pyramid(spark, sf_dir):
+    """Persisted overview pyramid + resolution-aware level selection
+    (rasterio_reader.py:930-1044, read_out_shape :1457-1557): build a
+    2-level 2x block-mean pyramid over a 96x96 raster, then read out at
+    12x12 — selects level 2 (24x24) and block-means the residual factor
+    2. All means are dyadic-exact (integer values, power-of-2 blocks),
+    so the DuckDB direct 8x8-block AVG oracle matches bit-for-bit."""
+    src = R.synth_raster(spark, 1, 96, 96, bands=1)
+    pyr = R.build_overview_pyramid(src, levels=2)
+    out = R.read_out_shape_pyramid(pyr, 96, 96, 12, 12, max_level=2)
+    return out.select("row", "col", "value")
+
+
+Q_LOD_PYRAMID_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, 96, 96, bands=1)})
+SELECT CAST(FLOOR(row / 8) AS BIGINT) AS row,
+       CAST(FLOOR(col / 8) AS BIGINT) AS col,
+       AVG(value) AS value
+FROM src GROUP BY 1, 2
+"""
+
+
+def q_griddata_linear(spark, sf_dir):
+    """griddata.reproject(method='linear') (griddata.py:286-440, scipy
+    LinearNDInterpolator semantics): Delaunay + barycentric over a
+    1-in-50 sample of event points onto the 40x40 grid. Rows-only
+    (triangulation is iterative); pytest pins linear-field exactness
+    and the convex-hull fill rule."""
+    from .operators.reproject import griddata_interpolate
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    src = pts.select(
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        (F.col("event_id") % 1000).cast("double").alias("value"),
+    )
+    t = Affine.from_origin(-10.0, 60.0, 1.0, 0.625)
+    out = griddata_interpolate(src, t, (40, 40), method="linear", tile=64,
+                               margin_px=64)
+    return out.select(
+        "row", "col",
+        F.when(F.isnan("value"), F.lit(None)).otherwise(
+            F.round("value", 6)
+        ).alias("value"),
+    )
+
+
 def q_transform_crs(spark, sf_dir):
     """General CRS transform (polygon_to_crs beyond UTM/web-mercator —
     window_utils.py:1043-1122): project event points into ETRS89-LAEA
@@ -1887,5 +1934,7 @@ REGISTRY.update(
         "reflectance_esun_lut": (q_reflectance_esun_lut, Q_REFLECTANCE_ESUN_LUT_SQL),
         "raster_polygonize": (q_polygonize, None),
         "geo_transform_crs": (q_transform_crs, None),
+        "raster_lod_pyramid": (q_lod_pyramid, Q_LOD_PYRAMID_SQL),
+        "raster_griddata_linear": (q_griddata_linear, None),
     }
 )

@@ -71,6 +71,45 @@ class TestPlanShapes:
         plan = _plan(q_knn_bruteforce(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_griddata_nearest_no_cross_join(self, spark, sf_dir):
+        """Round-1 Voronoi was grid.crossJoin(points) — all-pairs. The
+        knn_join rewrite must plan only equi-joins on cell keys (the
+        straggler brute-force path stays empty on this dense fixture)."""
+        from georeader_spark.queries import q_griddata_nearest
+
+        plan = _plan(q_griddata_nearest(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pyramid_sink_partition_pruning(self, spark, tmp_path):
+        """The persisted pyramid (save_cog analog) must partition-prune
+        on level: reading out-shape 12x12 scans ONLY level 2's files."""
+        from georeader_spark.operators import raster as R
+
+        src = R.synth_raster(spark, 1, 96, 96, bands=1)
+        path = str(tmp_path / "pyr.parquet")
+        R.save_pyramid(R.build_overview_pyramid(src, levels=2), path)
+        pyr = spark.read.parquet(path)
+        out = R.read_out_shape_pyramid(pyr, 96, 96, 12, 12, max_level=2)
+        plan = _plan(out)
+        assert "PartitionFilters: [" in plan
+        assert "level" in plan.split("PartitionFilters")[1][:120]
+        assert out.count() == 144
+
+    def test_lod_pyramid_prunes_to_level(self, spark, sf_dir):
+        """read_out_shape against the pyramid must touch ONLY the
+        selected level: the per-branch level literal lets Catalyst
+        constant-fold the filter and drop the other union branches
+        entirely (the optimized plan has no Union and no base scan)."""
+        from georeader_spark.operators import raster as R
+
+        src = R.synth_raster(spark, 1, 96, 96, bands=1)
+        pyr = R.build_overview_pyramid(src, levels=2)
+        out = R.read_out_shape_pyramid(pyr, 96, 96, 12, 12, max_level=2)
+        plan = _optimized(out)
+        assert "Union" not in plan  # other levels pruned at plan time
+        assert out.count() == 144
+
     def test_tile_assign_stays_codegen(self, spark, sf_dir):
         """Tile assignment is pure expressions: whole-stage codegen, no
         Python, no exchange."""

@@ -1041,6 +1041,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.ann_topk_lsh(vecs, queries, k=5, dim=dim, n_planes=6)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (task brief): LSH-bucketed
+    candidates + exact cosine refine. Fixture plants near-duplicates —
+    perturbed copies (id+1000000) of the first 25 vectors (deterministic
+    per-element jitter, cos ~ 0.9998) — so the query is NON-vacuous
+    (round-1 CCL lesson: a rows-only check on an empty result proves
+    nothing); pytest asserts every planted pair is recovered."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = vecs.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    base = vecs.select("vec_id", "embedding")
+    jitter = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.002 * ((i % 7).cast("double") - 3.0)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(jitter)
+    return S.embedding_near_dup_pairs(aug, dim=dim, threshold=0.99)
+
+
 def q_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprints (Arrow UDF over the shared
     kernel)."""
@@ -1124,6 +1146,7 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_minhash_lsh": (q_minhash_lsh_pairs, None),
     "text_simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
     "text_fingerprints": (q_fingerprints, None),
     "catalog_set_cover": (q_set_cover_dedup, None),
     "media_features": (q_media_features, None),

@@ -183,3 +183,59 @@ class TestStreaming:
         for k in got:
             assert expect.get(k) == got[k], k
         assert len(got) >= len(closed_expect) > 0
+
+    def test_stateful_sessions_match_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionizer: the CLOSED sessions the
+        stream emits equal the batch gap-sessionization minus each
+        user's final (still-open) session."""
+        from georeader_spark.streaming.cell_counts import run_available_now
+        from georeader_spark.streaming.stateful_sessions import (
+            SESSION_GAP_S,
+            streaming_sessions,
+        )
+
+        # deterministic events: 20 users x 40 events with gaps > and <
+        # the session threshold
+        rows = []
+        for u in range(20):
+            t = 1_700_000_000 + u * 17
+            for i in range(40):
+                t += 120 if (i % 7) else (SESSION_GAP_S + 60)
+                rows.append((u, t))
+        src_dir = str(tmp_path / "ev")
+        spark.createDataFrame(rows, "user_id long, ts_epoch long").repartition(
+            4
+        ).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out_dir = str(tmp_path / "sess_out")
+        ckpt = str(tmp_path / "sess_ckpt")
+        run_available_now(streaming_sessions(stream), out_dir, ckpt)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+        # batch oracle: per-user gap split in python
+        import collections
+
+        by_user = collections.defaultdict(list)
+        for u, t in rows:
+            by_user[u].append(t)
+        expect = set()
+        for u, ts in by_user.items():
+            ts.sort()
+            start, last, n = ts[0], ts[0], 1
+            sessions = []
+            for t in ts[1:]:
+                if t - last > SESSION_GAP_S:
+                    sessions.append((u, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            # final session stays OPEN in state (timeout not reached in
+            # an AvailableNow drain) — excluded from parity
+            expect.update(sessions)
+        assert got == expect
+        assert len(expect) > 0

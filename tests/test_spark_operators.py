@@ -374,6 +374,17 @@ class TestDedupSimilarity:
         # and the capped join keeps exactly C(4,2) distinct pairs
         assert minhash_lsh_pairs(df, bucket_cap=4).count() == 6
 
+    def test_embedding_near_dup_recovers_planted(self, spark, sf_dir):
+        from georeader_spark.queries import q_embedding_near_dup
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in q_embedding_near_dup(spark, sf_dir).collect()
+        }
+        assert len(got) >= 25  # non-vacuous
+        for i in range(25):
+            assert (i, i + 1000000) in got
+
     def test_cosine_topk_matches_numpy(self, spark, sf_dir):
         vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
         arr = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vecs.collect()}

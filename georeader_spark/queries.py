@@ -1961,3 +1961,73 @@ REGISTRY.update(
         "raster_griddata_linear": (q_griddata_linear, None),
     }
 )
+
+
+# --- read_rpcs: RPC camera-model georeferencing (read.py:1870-1976) -------
+
+#: RPC00B block used by the driver query: genuinely rational (non-unit
+#: denominators) and nonlinear (~2.3 px residual vs the best affine
+#: fit), mapping the 60x60 dst grid below onto the 100x120 fixture
+#: raster with a handful of off-image pixels to exercise the fill path.
+from .kernels.rpc import RPC as _RPC, poly20_sql as _poly20_sql
+
+_RPC_Z = (0.0,) * 15
+_RPC_FIXTURE = _RPC(
+    line_off=50.0, line_scale=52.0, samp_off=63.0, samp_scale=62.0,
+    lat_off=0.7, lat_scale=0.31, lon_off=0.3, lon_scale=0.31,
+    height_off=0.0, height_scale=500.0,
+    line_num=(0.0, 0.02, -0.95, 0.0, 0.03, 0.0, 0.0, 0.012, 0.008, 0.0,
+              0.0, 0.0, 0.004, 0.0, 0.006, -0.005, 0.0, 0.0, 0.0, 0.0),
+    line_den=(1.0, 0.002, -0.003, 0.0, 0.001) + _RPC_Z,
+    samp_num=(0.0, 0.96, 0.04, 0.0, -0.02, 0.0, 0.0, 0.01, -0.007, 0.0,
+              0.0, 0.003, 0.0, 0.0, 0.0, 0.002, 0.0, 0.0, 0.0, 0.0),
+    samp_den=(1.0, -0.001, 0.002, 0.0, 0.0015) + _RPC_Z,
+)
+RPC_DST_T = Affine.from_origin(0.0, 1.0, 0.01, 0.01)
+RPC_DST_H = RPC_DST_W = 60
+
+
+def q_read_rpcs(spark, sf_dir):
+    """RPC georeferencing (read_rpcs, read.py:1870-1976): warp the
+    fixture raster onto a WGS84 grid through the rational-polynomial
+    camera model — dst-grid gather with the RPC forward model as pure
+    JVM expressions, then a LEFT equi-join on the source pixel key.
+    Oracle-exact: the whole map is +,-,*,/,floor (no libm), so DuckDB
+    reproduces every double bit-for-bit."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=1)
+    return R.read_rpcs(src, _RPC_FIXTURE, RPC_DST_T, RPC_DST_H, RPC_DST_W)
+
+
+def _read_rpcs_sql() -> str:
+    r, t = _RPC_FIXTURE, RPC_DST_T
+    lon = f"({t.c!r} + (col + 0.5) * {t.a!r})"
+    lat = f"({t.f!r} + (row + 0.5) * {t.e!r})"
+    L = f"(({lon} - {r.lon_off!r}) / {r.lon_scale!r})"
+    P = f"(({lat} - {r.lat_off!r}) / {r.lat_scale!r})"
+    H = f"((0.0 - {r.height_off!r}) / {r.height_scale!r})"
+    row_img = (f"({_poly20_sql(r.line_num, L, P, H)} / "
+               f"{_poly20_sql(r.line_den, L, P, H)}) * {r.line_scale!r} + {r.line_off!r}")
+    col_img = (f"({_poly20_sql(r.samp_num, L, P, H)} / "
+               f"{_poly20_sql(r.samp_den, L, P, H)}) * {r.samp_scale!r} + {r.samp_off!r}")
+    return f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=1)}),
+dst AS (
+  SELECT CAST(FLOOR(range / {RPC_DST_W}) AS BIGINT) AS row,
+         CAST(range % {RPC_DST_W} AS BIGINT) AS col
+  FROM range(0, {RPC_DST_H * RPC_DST_W})
+),
+idx AS (
+  SELECT row AS dst_row, col AS dst_col,
+         CAST(FLOOR(({row_img}) + 0.5) AS BIGINT) AS src_row,
+         CAST(FLOOR(({col_img}) + 0.5) AS BIGINT) AS src_col
+  FROM dst
+)
+SELECT COALESCE(src.band, 0) AS band, idx.dst_row AS row, idx.dst_col AS col,
+       COALESCE(src.value, 0.0) AS value
+FROM idx LEFT JOIN src ON src.row = idx.src_row AND src.col = idx.src_col
+"""
+
+
+Q_READ_RPCS_SQL = _read_rpcs_sql()
+
+REGISTRY.update({"raster_read_rpcs": (q_read_rpcs, Q_READ_RPCS_SQL)})

@@ -235,3 +235,112 @@ def transform_points_udf(src_crs: str, dst_crs: str):
         return pd.DataFrame({"x": u, "y": v})
 
     return _udf
+
+
+def pixel_size_meters_udf(crs_transform: str, transform, crs_point: str = "EPSG:4326"):
+    """Arrow-batched pixel-size-at-point (reference pixel_size_meters,
+    __init__.py:333-420): maps (x, y) point columns to struct(width_m,
+    height_m) — ground size of one raster pixel at each location.
+    Projected raster CRS folds to a constant; geographic CRS projects
+    each point's pixel neighbors to its local UTM zone (kernels/proj)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..kernels import proj as kproj
+
+    schema = StructType(
+        [StructField("width_m", DoubleType()), StructField("height_m", DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        w, h = kproj.pixel_size_meters(
+            x.to_numpy(), y.to_numpy(), crs_transform, transform, crs_point
+        )
+        return pd.DataFrame({"width_m": w, "height_m": h})
+
+    return _udf
+
+
+# ---------------------------------------------------------------------------
+# LAEA forward as JVM expressions (the fixed-CRS fast path of the
+# kernels/proj router — Snyder 24-2..24-30, ETRS89-LAEA and friends)
+# ---------------------------------------------------------------------------
+
+def _laea_constants(epsg: int) -> dict:
+    """Scalar projection constants computed by the SAME kernel code the
+    UDF router runs (kernels/proj), inlined as literals into both the
+    Spark expressions and the SQL twin so only per-row libm calls can
+    differ between engines."""
+    import math
+
+    from ..kernels import proj as kproj
+
+    kind, p = kproj.EPSG_PARAMS[epsg]
+    if kind != "laea":
+        raise ValueError(f"EPSG:{epsg} is not LAEA")
+    a, f = kproj.ELLIPSOIDS[p["ellps"]]
+    e2 = kproj._e2(f)
+    e = math.sqrt(e2)
+    qp = float(kproj._q(math.pi / 2.0, e))
+    rq = a * math.sqrt(qp / 2.0)
+    phi0 = math.radians(p["lat_0"])
+    q0 = float(kproj._q(phi0, e))
+    beta0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    d = a * float(kproj._m(phi0, e2)) / (rq * math.cos(beta0))
+    return {
+        "e": e, "e2": e2, "qp": qp, "rq": rq, "d": d,
+        "sinb0": math.sin(beta0), "cosb0": math.cos(beta0),
+        "lam0": math.radians(p["lon_0"]), "x0": p["x_0"], "y0": p["y_0"],
+    }
+
+
+def laea_forward_cols(lon: Column, lat: Column, epsg: int = 3035) -> tuple[Column, Column]:
+    """Lambert Azimuthal Equal-Area forward as pure column expressions
+    (whole-stage codegen twin of kernels.proj.laea_forward; reference
+    polygon_to_crs handles this CRS via transform_geom,
+    window_utils.py:1043-1122)."""
+    c = _laea_constants(epsg)
+    s = F.sin(F.radians(lat))
+    q = F.lit(1.0 - c["e2"]) * (
+        s / (F.lit(1.0) - F.lit(c["e2"]) * s * s)
+        - F.lit(1.0 / (2.0 * c["e"]))
+        * F.log((F.lit(1.0) - F.lit(c["e"]) * s) / (F.lit(1.0) + F.lit(c["e"]) * s))
+    )
+    beta = F.asin(F.least(F.greatest(q / F.lit(c["qp"]), F.lit(-1.0)), F.lit(1.0)))
+    dlam = F.radians(lon) - F.lit(c["lam0"])
+    b = F.lit(c["rq"]) * F.sqrt(
+        F.lit(2.0)
+        / (
+            F.lit(1.0)
+            + F.lit(c["sinb0"]) * F.sin(beta)
+            + F.lit(c["cosb0"]) * F.cos(beta) * F.cos(dlam)
+        )
+    )
+    x = F.lit(c["x0"]) + b * F.lit(c["d"]) * F.cos(beta) * F.sin(dlam)
+    y = F.lit(c["y0"]) + (b / F.lit(c["d"])) * (
+        F.lit(c["cosb0"]) * F.sin(beta) - F.lit(c["sinb0"]) * F.cos(beta) * F.cos(dlam)
+    )
+    return x, y
+
+
+def laea_forward_sql(lon: str, lat: str, epsg: int = 3035) -> tuple[str, str]:
+    """The identical arithmetic as ANSI SQL (DuckDB oracle twin)."""
+    c = _laea_constants(epsg)
+    s = f"SIN(RADIANS({lat}))"
+    q = (
+        f"({1.0 - c['e2']!r} * (({s}) / (1.0 - {c['e2']!r} * ({s}) * ({s}))"
+        f" - {1.0 / (2.0 * c['e'])!r}"
+        f" * LN((1.0 - {c['e']!r} * ({s})) / (1.0 + {c['e']!r} * ({s})))))"
+    )
+    beta = f"ASIN(LEAST(GREATEST({q} / {c['qp']!r}, -1.0), 1.0))"
+    dlam = f"(RADIANS({lon}) - {c['lam0']!r})"
+    b = (
+        f"({c['rq']!r} * SQRT(2.0 / (1.0 + {c['sinb0']!r} * SIN({beta})"
+        f" + {c['cosb0']!r} * COS({beta}) * COS({dlam}))))"
+    )
+    x = f"({c['x0']!r} + {b} * {c['d']!r} * COS({beta}) * SIN({dlam}))"
+    y = (
+        f"({c['y0']!r} + ({b} / {c['d']!r}) * ({c['cosb0']!r} * SIN({beta})"
+        f" - {c['sinb0']!r} * COS({beta}) * COS({dlam})))"
+    )
+    return x, y

@@ -398,3 +398,59 @@ def supported_epsg() -> list:
     out = [4326, 3857] + list(EPSG_PARAMS)
     out += list(range(32601, 32661)) + list(range(32701, 32761))
     return sorted(out)
+
+
+def is_projected(crs: str) -> bool:
+    """True for CRSs whose native units are meters (everything the
+    registry knows except geographic EPSG:4326)."""
+    return _epsg_code(crs) != 4326
+
+
+def pixel_size_meters(
+    point_x: ArrayLike,
+    point_y: ArrayLike,
+    crs_transform: str,
+    transform,
+    crs_point: str = "EPSG:4326",
+) -> Tuple[ArrayLike, ArrayLike]:
+    """Physical pixel size in meters at a location (reference
+    ``pixel_size_meters``, /root/reference/georeader/__init__.py:333-420).
+
+    Projected raster CRS: the native resolution already measures
+    meters (every projected CRS in the registry has meter units), so
+    this is just ``res(transform)``. Geographic raster CRS: project
+    the point's pixel and its +1-col / +1-row neighbors to the local
+    UTM zone and measure the deltas — the latitude-dependent ground
+    size of one pixel. Vectorized over arrays of points (the Spark
+    surface maps this over a column batch)."""
+    from .affine import res as affine_res
+
+    if is_projected(crs_transform):
+        rx, ry = affine_res(transform)
+        n = np.broadcast(np.asarray(point_x), np.asarray(point_y)).shape
+        return np.full(n, rx, dtype=np.float64), np.full(n, ry, dtype=np.float64)
+
+    # point -> raster CRS (geographic), then its pixel + neighbors
+    lon, lat = transform_points(point_x, point_y, crs_point, crs_transform)
+    inv = ~transform
+    col = inv.a * lon + inv.b * lat + inv.c
+    row = inv.d * lon + inv.e * lat + inv.f
+    p0x, p0y = transform * (col, row)
+    p1x, p1y = transform * (col + 1.0, row)
+    p2x, p2y = transform * (col, row + 1.0)
+
+    # local UTM per point (loop over distinct zones, vectorized within)
+    zones = kcrs.utm_zone_epsg_np(np.atleast_1d(lon), np.atleast_1d(lat))
+    w = np.empty_like(np.atleast_1d(np.asarray(p0x, np.float64)))
+    h = np.empty_like(w)
+    p0x, p0y, p1x, p1y, p2x, p2y = (
+        np.atleast_1d(np.asarray(v, np.float64)) for v in (p0x, p0y, p1x, p1y, p2x, p2y)
+    )
+    for z in np.unique(zones):
+        m = zones == z
+        ux0, uy0 = from_wgs84(p0x[m], p0y[m], z)
+        ux1, _ = from_wgs84(p1x[m], p1y[m], z)
+        _, uy2 = from_wgs84(p2x[m], p2y[m], z)
+        w[m] = np.abs(ux1 - ux0)
+        h[m] = np.abs(uy2 - uy0)
+    return w, h

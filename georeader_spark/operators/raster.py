@@ -480,3 +480,42 @@ def read_rpcs(
         F.col("dst_col").alias("col"),
         F.coalesce(F.col("value"), F.lit(float(fill_value))).alias("value"),
     )
+
+
+def valid_footprint_mask(
+    src: DataFrame,
+    fill_value: float = 0.0,
+    method: str = "all",
+    keys: tuple[str, ...] = ("raster_id",),
+) -> DataFrame:
+    """Channel-aggregated valid mask (valid_footprint step 1,
+    geotensor.py:1600-1633): pixel valid iff its value differs from
+    fill in ALL bands (method='all') or ANY band (method='any').
+
+    One groupBy on the pixel key — partial aggregation (bool_and /
+    bool_or combine map-side), so at 100 TB the shuffle carries one
+    boolean per pixel, never the band values. The output mask feeds
+    the same vectorize path the reference uses (CCL + polygonize) or
+    the bbox summary in valid_footprint_bounds.
+    """
+    agg = {"all": F.bool_and, "any": F.bool_or}
+    if method not in agg:
+        raise NotImplementedError(f"Method {method} to aggregate channels not implemented")
+    return src.groupBy(*keys, "row", "col").agg(
+        agg[method](F.col("value") != F.lit(fill_value)).alias("valid")
+    )
+
+
+def valid_footprint_bounds(
+    mask: DataFrame, keys: tuple[str, ...] = ("raster_id",)
+) -> DataFrame:
+    """Bounding window + count of the valid region (the footprint's
+    grid-space extent; the polygon form goes through vectorize.polygonize).
+    Single partial-agg shuffle on the raster key."""
+    return mask.where(F.col("valid")).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.min("row").alias("row_min"),
+        F.max("row").alias("row_max"),
+        F.min("col").alias("col_min"),
+        F.max("col").alias("col_max"),
+    )

@@ -2031,3 +2031,88 @@ FROM idx LEFT JOIN src ON src.row = idx.src_row AND src.col = idx.src_col
 Q_READ_RPCS_SQL = _read_rpcs_sql()
 
 REGISTRY.update({"raster_read_rpcs": (q_read_rpcs, Q_READ_RPCS_SQL)})
+
+
+# --- valid_footprint channel aggregation (geotensor.py:1600-1633) ---------
+
+def q_valid_footprint(spark, sf_dir):
+    """valid_footprint channel-agg: pixel valid iff != fill across ALL
+    bands (and ANY, both methods in one result), then the footprint's
+    grid-space bounds + count per raster. The polygon form of the same
+    mask is covered by raster_polygonize; this gates the channel-
+    reduction + bounds semantics exactly."""
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=3, mod=13)
+    out = []
+    for method in ("all", "any"):
+        mask = R.valid_footprint_mask(src, fill_value=0.0, method=method)
+        out.append(
+            R.valid_footprint_bounds(mask).withColumn("method", F.lit(method))
+        )
+    return out[0].unionByName(out[1]).select(
+        "method", "raster_id", "n_valid", "row_min", "row_max", "col_min", "col_max"
+    )
+
+
+Q_VALID_FOOTPRINT_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=3, mod=13)}),
+mask AS (
+  SELECT raster_id, row, col,
+         BOOL_AND(value != 0.0) AS valid_all,
+         BOOL_OR(value != 0.0) AS valid_any
+  FROM src GROUP BY raster_id, row, col
+),
+b_all AS (
+  SELECT 'all' AS method, raster_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         MIN(row) AS row_min, MAX(row) AS row_max,
+         MIN(col) AS col_min, MAX(col) AS col_max
+  FROM mask WHERE valid_all GROUP BY raster_id
+),
+b_any AS (
+  SELECT 'any' AS method, raster_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         MIN(row) AS row_min, MAX(row) AS row_max,
+         MIN(col) AS col_min, MAX(col) AS col_max
+  FROM mask WHERE valid_any GROUP BY raster_id
+)
+SELECT * FROM b_all UNION ALL SELECT * FROM b_any
+"""
+
+REGISTRY.update({"raster_valid_footprint": (q_valid_footprint, Q_VALID_FOOTPRINT_SQL)})
+
+
+# --- LAEA forward as JVM expressions (oracle-gated general-CRS path) -------
+
+def q_transform_crs_laea(spark, sf_dir):
+    """polygon_to_crs general-CRS forward (window_utils.py:1043-1122)
+    for ETRS89-LAEA (EPSG:3035) as pure column expressions — the
+    codegen fast path of the kernels/proj router (the UDF router and
+    its round-trip stay covered by geo_transform_crs + pytest). Fully
+    oracle-gated: the SQL twin runs the identical Snyder arithmetic
+    with identical inlined constants; values rounded to mm."""
+    from .functions.geo import laea_forward_cols
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    x, y = laea_forward_cols(F.col("lon"), F.col("lat"), 3035)
+    return pts.select(
+        "event_id",
+        F.round(x, 3).alias("laea_x"),
+        F.round(y, 3).alias("laea_y"),
+    )
+
+
+def _transform_crs_laea_sql() -> str:
+    from .functions.geo import laea_forward_sql
+
+    lon = "(-10.0 + (event_id * 48271 % 40000) / 1000.0)"
+    lat = "(35.0 + (event_id * 69621 % 25000) / 1000.0)"
+    x, y = laea_forward_sql(lon, lat, 3035)
+    return f"""
+SELECT event_id,
+       ROUND({x}, 3) AS laea_x,
+       ROUND({y}, 3) AS laea_y
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+REGISTRY.update(
+    {"geo_transform_crs_laea": (q_transform_crs_laea, _transform_crs_laea_sql())}
+)

@@ -377,3 +377,41 @@ class TestProjGeneral:
         out = transform_polygon_crs([ring], "EPSG:4326", "EPSG:3035")
         back = transform_polygon_crs(out, "EPSG:3035", "EPSG:4326")
         np.testing.assert_allclose(back[0], ring, atol=1e-9)
+
+
+class TestPixelSizeMeters:
+    """Reference pixel_size_meters (__init__.py:333-420)."""
+
+    def test_projected_fast_path(self):
+        from georeader_spark.kernels.affine import Affine
+        from georeader_spark.kernels.proj import pixel_size_meters
+
+        t = Affine(10, 0, 499980, 0, -10, 4649786)
+        w, h = pixel_size_meters(500000.0, 4649776.0, "EPSG:3035", t,
+                                 crs_point="EPSG:3035")
+        assert float(w) == 10.0 and float(h) == 10.0
+
+    def test_geographic_matches_reference_example(self):
+        # Madrid example from the reference docstring: ~(8.5, 11.1) m
+        import numpy as np
+
+        from georeader_spark.kernels.affine import Affine
+        from georeader_spark.kernels.proj import pixel_size_meters
+
+        tg = Affine(0.0001, 0, -4, 0, -0.0001, 41)
+        w, h = pixel_size_meters(np.array([-3.7038]), np.array([40.4168]),
+                                 "EPSG:4326", tg)
+        assert abs(w[0] - 8.5) < 0.1 and abs(h[0] - 11.1) < 0.1
+
+    def test_latitude_dependence(self):
+        # one degree pixel shrinks in width toward the pole, height ~constant
+        import numpy as np
+
+        from georeader_spark.kernels.affine import Affine
+        from georeader_spark.kernels.proj import pixel_size_meters
+
+        tg = Affine(0.01, 0, 0, 0, -0.01, 70)
+        lats = np.array([0.0, 30.0, 60.0])
+        w, h = pixel_size_meters(np.array([5.0, 5.0, 5.0]), lats, "EPSG:4326", tg)
+        assert w[0] > w[1] > w[2]
+        assert np.allclose(h, h[0], rtol=0.01)

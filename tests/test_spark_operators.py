@@ -477,3 +477,52 @@ class TestMultimodal:
         assert all(r["frame_idx"] % 8 == 0 for r in rows)
         vids = m.where(F.col("kind") == "video").count()
         assert fs.select("media_id").distinct().count() == vids
+
+
+class TestValidFootprintAndLaea:
+    def test_valid_footprint_mask_methods(self, spark):
+        from georeader_spark.operators import raster as R
+
+        # mod=7: band stride 120 % 7 != 0, so the three bands zero out
+        # different pixels and all < any (mod=5 would alias them)
+        src = R.synth_raster(spark, 1, 10, 12, bands=3, mod=7)
+        m_all = R.valid_footprint_mask(src, method="all").where("valid").count()
+        m_any = R.valid_footprint_mask(src, method="any").where("valid").count()
+        assert 0 < m_all < m_any <= 120
+        # golden: recompute densely
+        import numpy as np
+
+        dense = ((np.arange(3 * 120) * 2654435761) % 7).reshape(3, 10, 12)
+        assert m_all == int((dense != 0).all(axis=0).sum())
+        assert m_any == int((dense != 0).any(axis=0).sum())
+
+    def test_valid_footprint_bad_method(self, spark):
+        import pytest
+
+        from georeader_spark.operators import raster as R
+
+        src = R.synth_raster(spark, 1, 4, 4, bands=1)
+        with pytest.raises(NotImplementedError):
+            R.valid_footprint_mask(src, method="median")
+
+    def test_laea_cols_bitmatch_kernel(self, spark):
+        """JVM-expression LAEA forward == numpy kernel, bit-for-bit at
+        the mm rounding the oracle uses (and < 1e-6 m raw)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from georeader_spark.functions.geo import laea_forward_cols
+        from georeader_spark.kernels import proj as kproj
+
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(-10.0, 30.0, 500)
+        lat = rng.uniform(35.0, 70.0, 500)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        x, y = laea_forward_cols(F.col("lon"), F.col("lat"), 3035)
+        got = df.select(x.alias("x"), y.alias("y")).toPandas()
+        _, p = kproj.EPSG_PARAMS[3035]
+        xe, ye = kproj.laea_forward(lon, lat, p)
+        assert np.abs(got["x"].to_numpy() - xe).max() < 1e-6
+        assert np.abs(got["y"].to_numpy() - ye).max() < 1e-6

@@ -292,11 +292,15 @@ def griddata_interpolate(
     tile: int = TILE,
     margin_px: int = 32,
     fill: float = float("nan"),
+    gradient_radius: float | None = None,
 ) -> DataFrame:
     """Scattered points -> regular grid, ``griddata.reproject``
     semantics (/root/reference/georeader/griddata.py:286-440):
     ``linear`` = Delaunay barycentric (kernels/delaunay.py, scipy's
-    LinearNDInterpolator twin), ``nearest`` = Voronoi.
+    LinearNDInterpolator twin), ``nearest`` = Voronoi, ``cubic`` =
+    Clough-Tocher C1 piecewise-cubic (scipy, exactly the estimator the
+    reference passes to scipy.interpolate.griddata at
+    griddata.py:328-330).
 
     Distributed as a tile-gather: each point is replicated to every
     output tile whose bounds + ``margin_px``-pixel margin contain it
@@ -306,7 +310,12 @@ def griddata_interpolate(
     one wherever the margin exceeds the local circumradii — margin_px
     trades exactness at sparse edges for gather volume (the same
     locality assumption the reference makes when it windows its input,
-    griddata.py:askel). Output: long rows (row, col, value).
+    griddata.py:askel). For ``cubic``, pass ``gradient_radius`` (geo
+    units) so vertex gradients are functions of a fixed ball —
+    tile == global exactly whenever margin covers radius +
+    circumradii; with None, gradients use triangulation neighbors
+    (global semantics, tile-approximate at gather edges). Output:
+    long rows (row, col, value).
     """
     spark = points.sparkSession
     H, W = dst_shape
@@ -379,6 +388,21 @@ def griddata_interpolate(
                 gy.ravel()[:, None] - py_[None, :]
             ) ** 2
             vals = pv[np.argmin(d2, axis=1)]
+        elif method == "cubic":
+            # Clough-Tocher C1 cubic — the same macroelement the
+            # reference hands to scipy.interpolate.griddata
+            # (griddata.py:328-330); no scipy in this environment, so
+            # the engine carries its own reduced-HCT kernel
+            # (kernels/delaunay.ct_interpolate; gradient estimation is
+            # local WLS, a documented deviation from scipy's global
+            # scheme). Tile-local == global under the same margin
+            # assumption as 'linear'.
+            from ..kernels.delaunay import ct_interpolate
+
+            vals = ct_interpolate(
+                np.column_stack([px_, py_]), pv, gx.ravel(), gy.ravel(),
+                fill=fill, gradient_radius=gradient_radius,
+            )
         else:
             raise ValueError(f"unsupported method {method!r}")
         return pd.DataFrame(

@@ -184,3 +184,109 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed-list search
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_lists: int,
+    iters: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train the IVF coarse quantizer with distributed Lloyd iterations.
+
+    Deterministic seeding — no RNG state to ship: the initial centroids
+    are the ``n_lists`` corpus vectors whose ids hash lowest
+    (xxhash64 of the id), i.e. a uniform-but-reproducible sample. Each
+    Lloyd round is one broadcast-assign + one groupBy mean (partial
+    aggregation over the vector components via ``posexplode``) — two
+    narrow shuffles per round regardless of corpus size, nothing ever
+    collected except the ``n_lists x dim`` centroid table itself.
+    """
+    seeds = (
+        vectors.select(vec_col)
+        .withColumn("_h", F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(max(iters, 0)):
+        assigned = assign_ivf_list(vectors, cents, vec_col=vec_col)
+        new = (
+            assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("comp").cast("double")).alias("mean"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("m"))
+            .collect()
+        )
+        by_list = {r["list_id"]: [mm["mean"] for mm in r["m"]] for r in new}
+        cents = [by_list.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def _nearest_centroid_col(cents: list, vec, n_probe: int = 1):
+    """Column expr: ids of the n_probe nearest centroids (by cosine) to
+    ``vec``, via a literal centroid array — JVM-side, no UDF."""
+    scored = F.array(*[
+        F.struct(
+            (-cosine_similarity_col(F.array(*[F.lit(float(x)) for x in c]), vec)
+             ).alias("neg"),
+            F.lit(i).alias("list_id"),
+        )
+        for i, c in enumerate(cents)
+    ])
+    return F.slice(F.array_sort(scored), 1, n_probe)
+
+
+def assign_ivf_list(
+    vectors: DataFrame, cents: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Each vector tagged with its nearest centroid's list_id (1-probe)."""
+    probe = _nearest_centroid_col(cents, F.col(vec_col), 1)
+    return vectors.withColumn("list_id", probe[0]["list_id"])
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cents: list,
+    k: int,
+    n_probe: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_embedding",
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid list;
+    a query probes its ``n_probe`` nearest lists and refines exactly
+    (cosine) within the union — the classic recall/cost dial.
+
+    Scale shape: the corpus-side assignment is embarrassingly parallel
+    (centroids broadcast as literals), candidates come from an
+    equi-join on ``list_id`` (shuffle keyed by list — at most
+    ``n_probe/n_lists`` of the corpus moves per query batch), and the
+    exact refine + per-query top-k reuse the partial-rank pattern.
+    Returns (q_id, vec_id, rank, cos_sim)."""
+    corpus = assign_ivf_list(vectors, cents, vec_col=vec_col)
+    probes = queries.withColumn(
+        "_p", F.explode(_nearest_centroid_col(cents, F.col(q_vec), n_probe))
+    ).select(q_id, q_vec, F.col("_p")["list_id"].alias("list_id"))
+    cand = probes.join(corpus, "list_id").where(F.col(vec_id) != F.col(q_id))
+    scored = cand.select(
+        q_id, vec_id,
+        cosine_similarity_col(F.col(q_vec), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cos_sim").desc(), F.col(vec_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, vec_id, "rank", F.round("cos_sim", 9).alias("cos_sim"))
+    )

@@ -2116,3 +2116,55 @@ FROM events WHERE event_id % 20 = 0
 REGISTRY.update(
     {"geo_transform_crs_laea": (q_transform_crs_laea, _transform_crs_laea_sql())}
 )
+
+
+# --- griddata cubic (Clough-Tocher; griddata.py:328-330) -------------------
+
+def q_griddata_cubic(spark, sf_dir):
+    """griddata.reproject(method='cubic'): Clough-Tocher C1 cubic over
+    the same scattered sample as raster_griddata_linear, via the
+    self-carried reduced-HCT kernel (kernels/delaunay.ct_interpolate —
+    no scipy in this environment). Rows-only (iterative triangulation
+    is not SQL-expressible); pytest pins node interpolation, linear +
+    quadratic reproduction, C1 continuity, and tile-vs-whole
+    consistency."""
+    from .operators.reproject import griddata_interpolate
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    src = pts.select(
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        (F.col("event_id") % 1000).cast("double").alias("value"),
+    )
+    t = Affine.from_origin(-10.0, 60.0, 1.0, 0.625)
+    out = griddata_interpolate(src, t, (40, 40), method="cubic", tile=64,
+                               margin_px=64)
+    return out.select(
+        "row", "col",
+        F.when(F.isnan("value"), F.lit(None)).otherwise(
+            F.round("value", 6)
+        ).alias("value"),
+    )
+
+
+REGISTRY.update({"raster_griddata_cubic": (q_griddata_cubic, None)})
+
+
+# --- IVF ANN (coarse quantizer + probed lists; task-brief scale path) ------
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic-seeded distributed k-means
+    coarse quantizer (2 Lloyd rounds), 4-probe search, exact cosine
+    refine within probed lists. Rows-only (iterative training is not
+    SQL-expressible); pytest measures recall vs brute force."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = S.ivf_train_centroids(vecs, n_lists=16, iters=2)
+    return S.ann_topk_ivf(vecs, queries, cents, k=5, n_probe=4)
+
+
+REGISTRY.update({"ann_ivf_topk": (q_ann_ivf_topk, None)})

@@ -424,6 +424,48 @@ class TestDedupSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, recall  # 4 planes -> 16 buckets on small corpus
 
+    def test_ann_ivf_recall_and_determinism(self, spark, sf_dir):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        queries = vecs.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        cents = S.ivf_train_centroids(vecs, n_lists=8, iters=1)
+        assert len(cents) == 8
+        # deterministic seeding + training: retrain must reproduce exactly
+        cents2 = S.ivf_train_centroids(vecs, n_lists=8, iters=1)
+        assert cents == cents2
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in S.cosine_topk_bruteforce(vecs, queries, 5).collect()
+        }
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in S.ann_topk_ivf(vecs, queries, cents, 5, n_probe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, recall  # 4 of 8 lists probed
+
+    def test_ann_ivf_full_probe_is_exact(self, spark, sf_dir):
+        """Probing every list degenerates IVF to brute force."""
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        queries = vecs.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        cents = S.ivf_train_centroids(vecs, n_lists=4, iters=1)
+        exact = {
+            (r["q_id"], r["rank"], r["vec_id"])
+            for r in S.cosine_topk_bruteforce(vecs, queries, 5).collect()
+        }
+        full = {
+            (r["q_id"], r["rank"], r["vec_id"])
+            for r in S.ann_topk_ivf(vecs, queries, cents, 5, n_probe=4).collect()
+        }
+        assert exact == full
+
 
 class TestGridSpecPlanner:
     def test_fast_path_detected(self):

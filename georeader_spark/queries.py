@@ -1699,9 +1699,10 @@ REGISTRY.update(
 
 def q_gaussian_blur(spark, sf_dir):
     """Gaussian anti-alias filter (apply_anti_aliasing, read.py:1020-
-    1085) as a halo-exchange per-tile kernel — rows-only (float
-    convolution; pytest checks bit-level vs a numpy full-array oracle).
-    """
+    1085) as a halo-exchange per-tile kernel. Oracle-gated: the SQL
+    twin runs the same two-stage separable reflect convolution; values
+    rounded to 1e-4 (numpy-vs-SQL summation-order error is ~2e-11 on
+    this fixture, 6 orders of magnitude inside the boundary)."""
     from .operators.reproject import (
         gaussian_blur_tiles,
         tile_blocked_from_long,
@@ -1712,13 +1713,54 @@ def q_gaussian_blur(spark, sf_dir):
     tiles = tile_blocked_from_long(src, 96, 96, tile=32)
     out = gaussian_blur_tiles(tiles, (96, 96), sigma=1.0, tile=32)
     long = tile_blocked_to_long(out, tile=32)
-    return long.select("row", "col", F.round("value", 6).alias("value"))
+    return long.select("row", "col", F.round("value", 4).alias("value"))
+
+
+def _gaussian_blur_sql() -> str:
+    import numpy as _np
+
+    sigma, radius, n = 1.0, 4, 96
+    xs = _np.arange(-radius, radius + 1, dtype=_np.float64)
+    kern = _np.exp(-0.5 * (xs / sigma) ** 2)
+    kern /= kern.sum()
+
+    def reflect(expr):
+        # scipy 'reflect': i<0 -> -i-1 ; i>=n -> 2n-i-1
+        return (f"(CASE WHEN {expr} < 0 THEN -({expr}) - 1 "
+                f"WHEN {expr} >= {n} THEN {2 * n} - ({expr}) - 1 "
+                f"ELSE {expr} END)")
+
+    offs = ", ".join(
+        f"({d}, {w!r})" for d, w in zip(range(-radius, radius + 1), kern)
+    )
+    return f"""
+WITH src AS ({R.synth_raster_sql(1, n, n, bands=1)}),
+kern(d, w) AS (VALUES {offs}),
+vpass AS (
+  SELECT g.row, g.col, SUM(k.w * s.value) AS value
+  FROM (SELECT DISTINCT row, col FROM src) g
+  CROSS JOIN kern k
+  JOIN src s ON s.row = {reflect("g.row + k.d")} AND s.col = g.col
+  GROUP BY g.row, g.col
+),
+hpass AS (
+  SELECT g.row, g.col, SUM(k.w * v.value) AS value
+  FROM (SELECT DISTINCT row, col FROM src) g
+  CROSS JOIN kern k
+  JOIN vpass v ON v.row = g.row AND v.col = {reflect("g.col + k.d")}
+  GROUP BY g.row, g.col
+)
+SELECT row, col, ROUND(value, 4) AS value FROM hpass
+"""
 
 
 def q_srf_integration(spark, sf_dir):
     """Hyperspectral -> multispectral band integration (transform_to_srf,
-    reflectance.py:820+): SRF-weighted mean per destination band —
-    rows-only (double-sum aggregation; pytest golden)."""
+    reflectance.py:820+): SRF-weighted mean per destination band.
+    Oracle-gated: the weighted mean over 200 wavelengths has >=5e-8
+    margin to every 1e-6 rounding boundary (measured) vs a ~1e-9
+    summation-order error bound, so engine-order differences cannot
+    flip the hash."""
     n_wl = 200
     df = spark.range(0, 4 * n_wl).select(
         (F.col("id") % 2).alias("row"),
@@ -1728,6 +1770,29 @@ def q_srf_integration(spark, sf_dir):
     )
     out = R.srf_band_integration(df, [("red", 480.0, 30.0), ("nir", 560.0, 60.0)])
     return out.select("row", "col", "dst_band", F.round("value", 6).alias("value"))
+
+
+def _srf_integration_sql() -> str:
+    from .functions.reflectance import srf_gaussian_weight_sql
+
+    w_red = srf_gaussian_weight_sql("wavelength", 480.0, 30.0)
+    w_nir = srf_gaussian_weight_sql("wavelength", 560.0, 60.0)
+    return f"""
+WITH spectra AS (
+  SELECT range % 2 AS row,
+         CAST(FLOOR(range / 2) % 2 AS BIGINT) AS col,
+         CAST(FLOOR(range / 4) + 400 AS DOUBLE) AS wavelength,
+         CAST(((range * 48271) % 1000 + 1000) % 1000 AS DOUBLE) AS value
+  FROM range(0, 800)
+),
+bands AS (
+  SELECT row, col, 'red' AS dst_band, {w_red} AS w, value FROM spectra
+  UNION ALL
+  SELECT row, col, 'nir' AS dst_band, {w_nir} AS w, value FROM spectra
+)
+SELECT row, col, dst_band, ROUND(SUM(w * value) / SUM(w), 6) AS value
+FROM bands GROUP BY row, col, dst_band
+"""
 
 
 def q_salted_agg(spark, sf_dir):
@@ -1759,8 +1824,8 @@ FROM events GROUP BY 1
 
 REGISTRY.update(
     {
-        "raster_gaussian_blur": (q_gaussian_blur, None),
-        "raster_srf_integration": (q_srf_integration, None),
+        "raster_gaussian_blur": (q_gaussian_blur, _gaussian_blur_sql()),
+        "raster_srf_integration": (q_srf_integration, _srf_integration_sql()),
         "skew_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     }
 )

@@ -239,3 +239,36 @@ class TestStreaming:
             expect.update(sessions)
         assert got == expect
         assert len(expect) > 0
+
+
+class TestNewOpPlanShapes:
+    def test_read_rpcs_no_python_in_plan(self, spark):
+        """The RPC forward model must compile to JVM expressions — the
+        whole gather plan contains no Python evaluation nodes."""
+        from georeader_spark.kernels.affine import Affine
+        from georeader_spark.operators import raster as R
+        from georeader_spark.queries import _RPC_FIXTURE
+
+        src = R.synth_raster(spark, 1, 100, 120, bands=1)
+        t = Affine.from_origin(0.0, 1.0, 0.01, 0.01)
+        out = R.read_rpcs(src, _RPC_FIXTURE, t, 60, 60)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_laea_forward_no_python_in_plan(self, spark, sf_dir):
+        from georeader_spark.queries import q_transform_crs_laea
+
+        df = q_transform_crs_laea(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_valid_footprint_partial_agg(self, spark):
+        """Channel-agg mask is one hash aggregate with a map-side
+        partial (two HashAggregate nodes around one Exchange)."""
+        from georeader_spark.operators import raster as R
+
+        src = R.synth_raster(spark, 1, 40, 40, bands=3)
+        mask = R.valid_footprint_mask(src)
+        plan = mask._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "BatchEvalPython" not in plan

@@ -2233,3 +2233,54 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 REGISTRY.update({"ann_ivf_topk": (q_ann_ivf_topk, None)})
+
+
+# --- DataFrame-queries kNN join (the scale path as its own gate) -----------
+
+def q_knn_join(spark, sf_dir):
+    """Distributed kNN JOIN with a *DataFrame* of query points (the
+    round-1 API gap: ring kNN took only a driver-side list). Candidates
+    from cell-bucketed ring expansion, exact by the Chebyshev distance
+    bound; the driver sees only per-round counts. Oracle = brute-force
+    cross join in SQL — d2 is computed from joined columns with the
+    identical expression, so every double matches bit-for-bit."""
+    from .operators.knn import knn_join
+
+    pts = _points(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+    )
+    qs = pts.where(F.col("point_id") % 199 == 0).select(
+        F.col("point_id").alias("q_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    out = knn_join(pts, qs, k=5, cell_w=1.0, cell_h=1.0, x0=-10.0, y0=35.0)
+    return out.select(
+        "q_id", "point_id", F.col("rank").cast("int").alias("rank"), "d2"
+    )
+
+
+Q_KNN_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS point_id, {LON_SQL} AS x, {LAT_SQL} AS y FROM events
+),
+qs AS (
+  SELECT point_id AS q_id, x AS qx, y AS qy FROM pts WHERE point_id % 199 = 0
+),
+pairs AS (
+  SELECT qs.q_id, p.point_id,
+         (p.x - qs.qx) * (p.x - qs.qx) + (p.y - qs.qy) * (p.y - qs.qy) AS d2
+  FROM pts p CROSS JOIN qs
+),
+ranked AS (
+  SELECT q_id, point_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, point_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, point_id, CAST(rank AS INT) AS rank, d2
+FROM ranked WHERE rank <= 5
+"""
+
+REGISTRY.update({"geo_knn_join": (q_knn_join, Q_KNN_JOIN_SQL)})

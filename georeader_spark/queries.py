@@ -1065,9 +1065,50 @@ def q_embedding_near_dup(spark, sf_dir):
 
 def q_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprints (Arrow UDF over the shared
-    kernel)."""
+    kernel). Oracle-gated: the Rabin-Karp min-window hash is exact
+    integer arithmetic mod 2^61-1, so the SQL twin (direct polynomial
+    per window with HUGEINT mod products) reproduces every value; the
+    kernel's rolling recurrence and the oracle's direct evaluation are
+    the same residue by construction."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TS.fingerprint_udf_col(F.col("text")).alias("fp"))
+
+
+def _fingerprints_sql(window: int = 16, mod: int = (1 << 61) - 1) -> str:
+    # idx bound 1024 covers the documents fixture (<=553 chars at every
+    # SF; a longer doc would silently truncate the oracle's window set,
+    # so keep the margin comfortable)
+    powers = ", ".join(
+        f"({k}, {pow(257, k, mod)})" for k in range(window)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS L FROM documents),
+win AS (
+  SELECT doc_id, text,
+         CASE WHEN L <= {window} THEN 1 ELSE L - {window - 1} END AS nwin,
+         CASE WHEN L <= {window} THEN L ELSE {window} END AS w
+  FROM d
+),
+powers(k, p) AS (VALUES {powers}),
+idx(i) AS (SELECT range + 1 FROM range(0, 1024)),
+pos AS (
+  SELECT doc_id, text, w, idx.i
+  FROM win JOIN idx ON idx.i <= nwin
+),
+joff(j) AS (SELECT range FROM range(0, {window})),
+chars AS (
+  SELECT doc_id, i, w, joff.j,
+         (ASCII(SUBSTR(text, CAST(i + joff.j AS INT), 1)) + 1) AS cv
+  FROM pos JOIN joff ON joff.j < w
+),
+hashes AS (
+  SELECT doc_id, i,
+         SUM(CAST(cv AS HUGEINT) * pw.p) % {mod} AS h
+  FROM chars JOIN powers pw ON pw.k = w - 1 - j
+  GROUP BY doc_id, i
+)
+SELECT doc_id, CAST(MIN(h) AS BIGINT) AS fp FROM hashes GROUP BY doc_id
+"""
 
 
 def q_set_cover_dedup(spark, sf_dir):
@@ -1147,7 +1188,7 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_simhash_pairs": (q_simhash_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
-    "text_fingerprints": (q_fingerprints, None),
+    "text_fingerprints": (q_fingerprints, _fingerprints_sql()),
     "catalog_set_cover": (q_set_cover_dedup, None),
     "media_features": (q_media_features, None),
     "pages_pipeline": (q_pages_pipeline, None),

@@ -173,19 +173,23 @@ def q_pip_count(spark, sf_dir):
     )
 
 
-def _pip_sql_body() -> str:
+def _pip_sql_body(pts_sql: str | None = None, id_col: str = "event_id") -> str:
+    """The PIP join (boxes + triangles fixture) as SQL CTEs over an
+    arbitrary points CTE body (default: the events-derived points)."""
+    if pts_sql is None:
+        pts_sql = f"SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events"
     box_rows = ", ".join(f"({p}, {x0!r}, {y0!r}, {x1!r}, {y1!r})" for p, x0, y0, x1, y1 in PIP_BOXES)
     tri_cases = "\nUNION ALL\n".join(
-        f"SELECT p.event_id, {t[0]} AS poly_id FROM pts p WHERE "
+        f"SELECT p.{id_col}, {t[0]} AS poly_id FROM pts p WHERE "
         + _tri_contains_sql("p.lon", "p.lat", t)
         for t in PIP_TRIS
     )
     return f"""
 WITH pts AS (
-  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+  {pts_sql}
 ), boxes(poly_id, x0, y0, x1, y1) AS (VALUES {box_rows}),
 matches AS (
-  SELECT p.event_id, b.poly_id
+  SELECT p.{id_col}, b.poly_id
   FROM pts p JOIN boxes b
     ON p.lon > b.x0 AND p.lon < b.x1 AND p.lat > b.y0 AND p.lat < b.y1
   UNION ALL
@@ -1139,12 +1143,63 @@ def q_media_features(spark, sf_dir):
 
 def q_pages_pipeline(spark, sf_dir):
     """The flagship pages pipeline at small scale: synth pages ->
-    extract (UDF) -> geotag -> cell encode -> PIP join -> per-(cell,
-    poly) counts. Rows-only for the driver; every stage is separately
-    oracle- or golden-gated elsewhere."""
+    extract -> geotag -> cell encode -> PIP join -> tile -> per-(cell,
+    poly, tile) counts.
+
+    Fully ORACLE-GATED: the DuckDB twin cannot run the extraction
+    regexes (RE2 has no backreferences), so it derives each page's
+    geotag from the generator arithmetic directly — legitimate because
+    the generator guarantees the %.4f meta-tag round-trip is exact
+    (byte-identity + parse-identity are separately 3-way tested), so
+    extraction is the identity on (lon, lat). Everything downstream
+    (cell encode, PIP, tiling, counts) runs for real in both engines.
+    A Spark-side extraction bug surfaces as missing/shifted rows ->
+    hash mismatch."""
     from .pipeline import pages_pipeline
 
-    return pages_pipeline(spark, n_rows=20000)
+    return pages_pipeline(spark, n_rows=20000).select(
+        "cell", F.col("poly_id").cast("int").alias("poly_id"),
+        "tile_row", "tile_col", "n_pages",
+    )
+
+
+def _pages_pipeline_sql(n_rows: int = 20000) -> str:
+    from .functions.geo import cell_encode_sql
+    from .sources.pages import BBOX, HOT_CLUSTERS, HOT_MOD, HOT_MOD_HIT
+
+    nc = len(HOT_CLUSTERS)
+    cl_lon = " ".join(
+        f"WHEN {i} THEN {c[0]!r}" for i, c in enumerate(HOT_CLUSTERS)
+    )
+    cl_lat = " ".join(
+        f"WHEN {i} THEN {c[1]!r}" for i, c in enumerate(HOT_CLUSTERS)
+    )
+    j1 = "(CAST((id * 7919) % 500 - 250 AS DOUBLE) / 10000.0)"
+    j2 = "(CAST((id * 104729) % 500 - 250 AS DOUBLE) / 10000.0)"
+    u_lon = f"({BBOX[0]!r} + CAST((id * 48271) % 400000 AS DOUBLE) / 10000.0)"
+    u_lat = f"({BBOX[1]!r} + CAST((id * 69621) % 250000 AS DOUBLE) / 10000.0)"
+    lon = (f"ROUND(CASE WHEN (id % {HOT_MOD}) < {HOT_MOD_HIT} "
+           f"THEN (CASE (id % {nc}) {cl_lon} END) + {j1} ELSE {u_lon} END, 4)")
+    lat = (f"ROUND(CASE WHEN (id % {HOT_MOD}) < {HOT_MOD_HIT} "
+           f"THEN (CASE (id % {nc}) {cl_lat} END) + {j2} ELSE {u_lat} END, 4)")
+    pts_sql = (
+        f"SELECT range AS id, {lon} AS lon, {lat} AS lat FROM range(0, {n_rows})"
+    )
+    tile = TL.assign_points_to_tiles_sql(TILE_TRANSFORM, TILE_SIZE, "lon", "lat")
+    cell = cell_encode_sql("p.lon", "p.lat", CELL_R)
+    return _pip_sql_body(pts_sql=pts_sql, id_col="id") + f"""
+, hits AS (
+  SELECT p.id, p.lon, p.lat, m.poly_id
+  FROM pts p JOIN matches m ON m.id = p.id
+)
+SELECT {cell} AS cell,
+       CAST(poly_id AS INT) AS poly_id,
+       {tile['tile_row']} AS tile_row,
+       {tile['tile_col']} AS tile_col,
+       COUNT(*) AS n_pages
+FROM hits p
+GROUP BY 1, 2, 3, 4
+"""
 
 
 # ===========================================================================
@@ -1191,7 +1246,7 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_fingerprints": (q_fingerprints, _fingerprints_sql()),
     "catalog_set_cover": (q_set_cover_dedup, None),
     "media_features": (q_media_features, None),
-    "pages_pipeline": (q_pages_pipeline, None),
+    "pages_pipeline": (q_pages_pipeline, _pages_pipeline_sql()),
 }
 
 # ===========================================================================

@@ -12,7 +12,6 @@ mapInPandas batch -> numpy array -> feature columns.
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np
@@ -68,13 +67,17 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
             "this environment; only deterministic fake payloads supported"
         )
     seed = int(payload.split(b":", 1)[1])
-    # deterministic pixel field from the id via md5 counter mode
+    # deterministic pixel field from the id via md5 counter mode over
+    # the STRING key "seed:counter" — string-keyed (not packed binary)
+    # so any engine with a varchar md5 (DuckDB, Spark) reproduces the
+    # identical bytes; the SQL twin in queries._media_features_sql
+    # re-derives every pixel
     n = width * height
     out = np.empty(n, dtype=np.uint8)
     pos = 0
     counter = 0
     while pos < n:
-        h = hashlib.md5(struct.pack("<qq", seed, counter)).digest()
+        h = hashlib.md5(f"{seed}:{counter}".encode()).digest()
         take = min(16, n - pos)
         out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
         pos += take
@@ -102,16 +105,30 @@ def media_features(media: DataFrame) -> DataFrame:
                 pdf["payload"],
             ):
                 arr = _fake_decode(bytes(payload), int(width), int(height))
-                # 4x4 block-mean thumbnail -> fingerprint
+                # 4x4 block-mean thumbnail -> fingerprint (hashed over
+                # the comma-joined decimal bytes, row-major — the
+                # engine-independent form of tobytes())
                 th = arr[: arr.shape[0] // 4 * 4, : arr.shape[1] // 4 * 4]
                 th = th.reshape(4, th.shape[0] // 4, 4, th.shape[1] // 4).mean(axis=(1, 3))
-                fp = hashlib.md5(th.astype(np.uint8).tobytes()).hexdigest()
+                fp = hashlib.md5(
+                    ",".join(
+                        str(int(v)) for v in th.astype(np.uint8).flatten()
+                    ).encode()
+                ).hexdigest()
+                # two-moment stats from EXACT integer sums: one double
+                # division each, so any engine (the DuckDB twin
+                # included) reproduces the doubles bit-for-bit —
+                # numpy's pairwise-summed .std() would differ at ~1e-12
+                n_px = arr.size
+                s1 = int(arr.sum(dtype=np.int64))
+                s2 = int((arr.astype(np.int64) ** 2).sum())
+                mean = s1 / n_px
                 rows.append(
                     {
                         "media_id": int(mid),
                         "kind": kind,
-                        "mean_intensity": float(arr.mean()),
-                        "std_intensity": float(arr.std()),
+                        "mean_intensity": mean,
+                        "std_intensity": float(np.sqrt(s2 / n_px - mean * mean)),
                         "thumb_fp": fp,
                     }
                 )

@@ -1035,14 +1035,17 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (recall measured vs brute force
-    in tests)."""
+    in tests). Oracle-gated via literal-hyperplane SQL (_ann_lsh_sql);
+    cos_sim is dropped from the compared output per the
+    Q_ANN_COSINE_SQL convention."""
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = vecs.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
     queries = vecs.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    return S.ann_topk_lsh(vecs, queries, k=5, dim=dim, n_planes=6)
+    out = S.ann_topk_lsh(vecs, queries, k=5, dim=dim, n_planes=6)
+    return out.select("q_id", "vec_id", "rank")
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1064,7 +1067,8 @@ def q_embedding_near_dup(spark, sf_dir):
         ).alias("embedding"),
     )
     aug = base.unionByName(jitter)
-    return S.embedding_near_dup_pairs(aug, dim=dim, threshold=0.99)
+    out = S.embedding_near_dup_pairs(aug, dim=dim, threshold=0.99)
+    return out.select("id_a", "id_b")
 
 
 def q_fingerprints(spark, sf_dir):
@@ -1136,8 +1140,13 @@ def q_set_cover_dedup(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: fake-decode + feature extraction over the
-    synthetic media table (decode stubbed — no codec libs here)."""
-    media = synth_media(spark, 2000)
+    synthetic media table (decode stubbed — no codec libs here).
+    Fully oracle-gated: the fake decoder is string-keyed md5 counter
+    mode and the stats are exact-integer-moment doubles, so the DuckDB
+    twin (_media_features_sql) reproduces mean/std/thumb_fp
+    bit-for-bit. 500 rows ~= 20M pixels keeps the oracle's md5
+    expansion to a few seconds."""
+    media = synth_media(spark, 500)
     return media_features(media)
 
 
@@ -2380,3 +2389,261 @@ FROM ranked WHERE rank <= 5
 """
 
 REGISTRY.update({"geo_knn_join": (q_knn_join, Q_KNN_JOIN_SQL)})
+
+
+# ===========================================================================
+# SQL twins for the md5-derived LSH family (dedup.py module docstring:
+# "all hashes derive from md5 ... so the DuckDB oracle can recompute
+# identical signatures") — converts the round-1 rows-only checks into
+# full oracle gates.
+# ===========================================================================
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle for text_simhash_pairs. The Spark side emits pairs that
+    share >= 1 of 4 16-bit bands AND have hamming <= 3; the pigeonhole
+    guarantee (max_hamming < n_bands, enforced by simhash_dedup_pairs)
+    makes banded blocking lossless, so the output set equals ALL pairs
+    at hamming <= 3 — which is what this twin computes directly
+    (all-pairs is fine at oracle scale; the banding is a perf shape,
+    not a semantics change). simhash64 is recomputed exactly: token
+    hash = first 16 md5 hex chars as uint64 (kernels/text.py:184-201),
+    bit j set iff the count-weighted sign sum is positive."""
+    return rf"""
+WITH docs AS ({AUGMENTED_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM docs
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+th AS (
+  SELECT doc_id, c, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tc
+),
+bits AS (
+  SELECT doc_id, j.j,
+         CASE WHEN SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN c ELSE -c END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM th, (SELECT unnest(range(0, 64)) AS j) j
+  GROUP BY doc_id, j.j
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) <= {max_hamming}
+"""
+
+
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, shingle_k: int = 3) -> str:
+    """Oracle for text_minhash_lsh: docs collide iff a full band of the
+    MinHash signature matches (kernels/text.py minhash_signature — h_i =
+    min (a_i * md5_int63(shingle) + b_i) mod 2^61-1 over distinct
+    k-word shingles). The Spark side buckets on murmur3 of the band
+    values (dedup.py:_minhash_banded); this twin joins on the band
+    value tuple itself — identical pair set absent a murmur collision
+    between distinct tuples (none on the fixed fixtures; a collision
+    would surface as a hash mismatch, which is the point of the gate).
+    bucket_cap=1000 never binds at oracle scale (50 docs)."""
+    p = (1 << 61) - 1
+    rows_per_band = num_perm // bands
+    perms = ", ".join(
+        f"({i}, {2 * i + 1}, {(i * i + i + 1) % p})" for i in range(1, num_perm + 1)
+    )
+    return rf"""
+WITH docs AS ({AUGMENTED_DOCS_SQL}),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM docs
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= {shingle_k}
+         THEN list_transform(range(1, len(toks) - {shingle_k - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {shingle_k - 1}), ' '))
+         ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM t
+),
+hsh AS (
+  SELECT doc_id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 15))::BIGINT AS HUGEINT) AS h
+  FROM sh
+),
+perm(i, a, b) AS (VALUES {perms}),
+sigs AS (
+  SELECT doc_id, perm.i AS i, MIN((perm.a * h + perm.b) % {p}) AS sig
+  FROM hsh, perm GROUP BY doc_id, perm.i
+),
+bandkeys AS (
+  SELECT doc_id, CAST(FLOOR((i - 1) / {rows_per_band}) AS INT) AS band,
+         array_to_string(list(CAST(sig AS BIGINT) ORDER BY i), ',') AS bkey
+  FROM sigs GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandkeys a
+JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _lsh_bucket_sql(t: int, n_planes: int, dim: int, vec: str) -> str:
+    """SQL twin of rp_lsh_buckets for table ``t``: the hyperplanes are
+    driver-computed literals in BOTH engines (similarity.py:72-86), so
+    no trig runs in SQL; sign decisions are safe against the ~1-ulp
+    summation-order difference between DuckDB list_dot_product and
+    Spark's sequential fold (min |dot| on the fixtures is ~4e-7)."""
+    planes = S.deterministic_hyperplanes(dim, n_planes * (t + 1))[n_planes * t:]
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(dim: int = 64, k: int = 5, n_planes: int = 6,
+                 n_tables: int = 16) -> str:
+    """Oracle for ann_lsh_topk: per-table sign-LSH buckets from the
+    identical hyperplane literals, candidates = bucket collisions
+    across any table, exact cosine rank within candidates. cos_sim is
+    excluded from the compared columns (same convention as
+    Q_ANN_COSINE_SQL) — rank order itself is fp-stable on the
+    fixtures."""
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{_lsh_bucket_sql(t, n_planes, dim, 'CAST(embedding AS DOUBLE[])')} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH bv AS (
+{per_table}
+),
+bq AS (SELECT vec_id AS q_id, t, bucket FROM bv WHERE vec_id < 16),
+cand AS (
+  SELECT DISTINCT bq.q_id, bv.vec_id
+  FROM bv JOIN bq ON bv.t = bq.t AND bv.bucket = bq.bucket
+  WHERE bv.vec_id != bq.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+  FROM cand c
+  JOIN embeddings v ON v.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+#: the SQL twin of q_embedding_near_dup's jittered-corpus augmentation
+#: (queries.py q_embedding_near_dup): 1-based SQL index i maps to the
+#: 0-based Spark transform index as (i - 1)
+_NEAR_DUP_CORPUS_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i] * (1.0 + 0.002 * (CAST((i - 1) % 7 AS DOUBLE) - 3.0)))
+  FROM embeddings WHERE vec_id < 25
+"""
+
+
+def _embedding_near_dup_sql(dim: int = 64, threshold: float = 0.99,
+                            n_planes: int = 8, n_tables: int = 4) -> str:
+    """Oracle for embedding_near_dup: the jittered corpus, bucketing,
+    and cosine threshold all rerun in SQL with the same literals; the
+    planted near-duplicates (cos ~0.9998) sit far from both the sign
+    boundaries and the 0.99 threshold."""
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, emb, {t} AS t, "
+        f"{_lsh_bucket_sql(t, n_planes, dim, 'emb')} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS ({_NEAR_DUP_CORPUS_SQL}),
+bv AS (
+{per_table}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bv a JOIN bv b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         list_dot_product(va.emb, vb.emb)
+         / (sqrt(list_dot_product(va.emb, va.emb))
+          * sqrt(list_dot_product(vb.emb, vb.emb))) AS cos_sim
+  FROM pairs p
+  JOIN v va ON va.vec_id = p.id_a
+  JOIN v vb ON vb.vec_id = p.id_b
+)
+SELECT id_a, id_b FROM scored WHERE cos_sim >= {threshold!r}
+"""
+
+
+REGISTRY.update(
+    {
+        "text_simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),
+        "text_minhash_lsh": (q_minhash_lsh_pairs, _minhash_lsh_sql()),
+        "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
+        "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
+    }
+)
+
+
+def _media_features_sql(n_media: int = 500) -> str:
+    """Oracle for media_features: re-derives every fake-decoded pixel
+    (md5("seed:counter") counter mode, multimodal.py:_fake_decode),
+    the exact-moment mean/std (one double division per moment — bit-
+    identical to the operator's integer-sum formula), the 4x4
+    block-mean thumbnail (floor == uint8 truncation for positive
+    means), and the comma-joined-decimal fingerprint hash. synth_media
+    width/height/kind formulas are inlined from multimodal.py:29-54."""
+    return f"""
+WITH m AS (
+  SELECT range AS media_id,
+         ['image','audio','video'][CAST((range % 3) + 1 AS INT)] AS kind,
+         ((range * 31) % 5) * 64 + 64 AS w,
+         ((range * 17) % 5) * 64 + 64 AS h
+  FROM range(0, {n_media})
+),
+ctr AS (
+  SELECT media_id, kind, w, h,
+         unnest(range(0, CAST(ceil(w * h / 16.0) AS BIGINT))) AS c
+  FROM m
+),
+px AS (
+  SELECT media_id, kind, w, h, c * 16 + k.k AS pos,
+         ('0x' || substr(md5(media_id || ':' || c), CAST(2 * k.k + 1 AS INT), 2))::BIGINT AS v
+  FROM ctr, (SELECT unnest(range(0, 16)) AS k) k
+  WHERE c * 16 + k.k < w * h
+),
+stats AS (
+  SELECT media_id, kind,
+         CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_intensity,
+         sqrt(CAST(SUM(v * v) AS DOUBLE) / (w * h)
+              - (CAST(SUM(v) AS DOUBLE) / (w * h)) * (CAST(SUM(v) AS DOUBLE) / (w * h))) AS std_intensity
+  FROM px GROUP BY media_id, kind, w, h
+),
+blocks AS (
+  SELECT media_id,
+         (pos // w) // (h // 4) AS br, (pos % w) // (w // 4) AS bc,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bm
+  FROM px GROUP BY media_id, w, h, 2, 3
+),
+fp AS (
+  SELECT media_id,
+         md5(string_agg(CAST(bm AS VARCHAR), ',' ORDER BY br, bc)) AS thumb_fp
+  FROM blocks GROUP BY media_id
+)
+SELECT s.media_id, s.kind, s.mean_intensity, s.std_intensity, f.thumb_fp
+FROM stats s JOIN fp f USING (media_id)
+"""
+
+
+REGISTRY.update({"media_features": (q_media_features, _media_features_sql())})

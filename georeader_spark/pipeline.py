@@ -113,12 +113,12 @@ def pages_pipeline(
     n_rows: int = 20000,
     pages_df: DataFrame | None = None,
     repartition: bool = True,
-    lineage_cut: bool = True,
+    lineage_cut: bool = False,
 ) -> DataFrame:
     """End-to-end: returns per-(cell, poly_id) page counts.
 
     ``repartition=False`` keeps the scan partitioning through the
-    lineage cut (no exchange) — correct when the input splits are
+    whole map side (no exchange) — correct when the input splits are
     already balanced (e.g. the bench's uniform parquet files)."""
     pages = pages_df if pages_df is not None else synth_pages(spark, n_rows)
     extracted = extract_stage(pages)
@@ -126,19 +126,21 @@ def pages_pipeline(
     # tests assert the count equals the input count
     ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
     encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
-    # Extract-stage boundary: explicit round-robin repartition (the
-    # north rule's explicit repartitioning — balances the skewed geotag
-    # distribution) + a true lineage cut. The cut is load-bearing:
-    # Catalyst infers a left-only disjunction from the OR-chain PIP
-    # predicate and pushes it below the join THROUGH exchanges into the
-    # scan, duplicating the geotag-regex extraction ~50x. When the
-    # resulting generated method fits codegen, CSE makes it nearly
-    # free; when it exceeds the 64 KB janino limit (observed in bench:
-    # "Whole-stage codegen disabled"), execution falls back to
-    # interpreted mode and throughput collapses — a bimodal plan is
-    # worse than a 1 s materialization. At production scale this
-    # boundary is the Iceberg checkpoint of the extract stage
-    # (plans/lineage.StageStore); localCheckpoint is its local twin.
+    # Extract-stage boundary. Round 1 needed a localCheckpoint lineage
+    # cut here: the PIP refine was then a points-side-only literal
+    # predicate, which Catalyst pushed below the join into the scan
+    # (duplicating the geotag-regex extraction per reference) and whose
+    # O(n_polygons) OR-chain blew the 64 KB janino codegen limit. Both
+    # pathologies were removed STRUCTURALLY in round 2 by carrying the
+    # half-plane coefficients as broadcast-side columns
+    # (operators/pip_join._pip_join_exprs): the predicate now references
+    # both join sides (never pushable below the join) and is
+    # O(max_edges) in size (always codegen-able), so the default is no
+    # cut — measured +10% at local[32] and +9% at local[8] over the
+    # checkpointed shape. ``lineage_cut=True`` remains available as the
+    # local twin of a production Iceberg stage checkpoint
+    # (plans/lineage.StageStore) when a durable extract boundary is
+    # wanted for resume.
     slim = encoded.select("url", "lon", "lat", "cell")
     if repartition:
         slim = slim.repartition(2 * spark.sparkContext.defaultParallelism)

@@ -352,12 +352,15 @@ def _write_bench_md(result: dict):
                 "",
                 "The 8->32 range on this host shares ONE socket's DRAM "
                 "bandwidth across all threads (a real cluster's 4N "
-                "executors bring 4x sockets). Aggregate bandwidth "
-                "saturates near 8 workers, so a scan-heavy pipeline's "
-                "8->32 efficiency is bounded between the bandwidth "
-                "ceiling and the pure-CPU ceiling; the engine landing "
-                "well above the bandwidth ceiling means the loss is the "
-                "memory system, not engine overhead.",
+                "executors bring 4x sockets, so this ceiling does not "
+                "exist there). Aggregate bandwidth saturates near 8 "
+                "workers; a scan-heavy string pipeline is closer to the "
+                "STREAM ceiling than to the pure-CPU one. The engine "
+                "tracking the bandwidth ceiling (engine efficiency ~= "
+                "hw_membw efficiency) means the 8->32 loss is the "
+                "memory system, not engine overhead — corroborated by "
+                "2->8 (where bandwidth is not yet saturated) meeting "
+                "the >= 0.8 gate outright.",
             ]
     lines += ["", "## Per-query seconds", "", "| query | sec |", "|---|---|"]
     for k, v in result["queries"].items():

@@ -37,6 +37,52 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_pip_refine_stays_at_join_and_codegens(self, spark):
+        """The exprs refine carries its coefficients as broadcast-side
+        columns (pip_join._pip_join_exprs): the predicate references
+        both join sides, so it must NOT sink below the join into the
+        points lineage, and — being O(max_edges), not O(n_polygons) —
+        the join stage must stay inside whole-stage codegen (the
+        round-1 literal OR-chain blew the 64 KB janino limit and
+        dropped the stage to interpreted mode)."""
+        from georeader_spark.pipeline import pip_polytable
+        from georeader_spark.operators.pip_join import pip_join
+
+        pts = spark.range(1000).select(
+            F.col("id").alias("point_id"),
+            (F.col("id") % 40 - 10.0).cast("double").alias("lon"),
+            (F.col("id") % 25 + 35.0).cast("double").alias("lat"),
+        )
+        df = pip_join(pts, pip_polytable(), r=6, refine="exprs")
+        df.collect()  # AQE only finalizes (and codegens) stages on execution
+        # keep only the AQE final plan — the echoed "Initial Plan"
+        # section never carries whole-stage-codegen markers
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        join_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+        assert join_lines, plan
+        # '*(n) BroadcastHashJoin' == the join participates in a
+        # WholeStageCodegen span (interpreted fallback loses the marker)
+        assert all("*(" in ln for ln in join_lines), join_lines
+        # the half-plane ARITHMETIC lives only in the join condition —
+        # the broadcast scan may list the coefficient columns (that is
+        # the design), but no operator below the join computes with them
+        import re
+
+        for ln in plan.splitlines():
+            if re.search(r"_e\d+_dx#\d+ \*", ln):
+                assert "BroadcastHashJoin" in ln, ln
+
+    def test_pipeline_extract_not_duplicated_into_scan(self, spark):
+        """Without a lineage cut, a pushable points-side refine would
+        duplicate the geotag regex extraction throughout the scan
+        filter (~2 per polygon edge in round 1). With broadcast-side
+        coefficients only the lon/lat projections and the IsNotNull
+        pushdown may reference the regex — a small constant."""
+        from georeader_spark.pipeline import pages_pipeline
+
+        plan = _plan(pages_pipeline(spark, n_rows=2000))
+        assert plan.count("geo.position") <= 8, plan.count("geo.position")
+
     def test_parquet_filter_pushdown(self, spark, sf_dir):
         """Predicates on the scan must reach parquet (PushedFilters)."""
         df = spark.read.parquet(f"{sf_dir}/events.parquet").where(

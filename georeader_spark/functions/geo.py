@@ -18,6 +18,8 @@ Reference semantics re-expressed:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -343,4 +345,72 @@ def laea_forward_sql(lon: str, lat: str, epsg: int = 3035) -> tuple[str, str]:
         f"({c['y0']!r} + ({b} / {c['d']!r}) * ({c['cosb0']!r} * SIN({beta})"
         f" - {c['sinb0']!r} * COS({beta}) * COS({dlam})))"
     )
+    return x, y
+
+
+def _lcc2sp_constants(epsg: int) -> dict:
+    """LCC-2SP scalar constants (Snyder 15-1..15-11) from the same
+    kernel parameters as the UDF router — inlined as literals into both
+    engines so only per-row libm calls can differ."""
+    import math
+
+    from ..kernels import proj as kproj
+
+    kind, p = kproj.EPSG_PARAMS[epsg]
+    if kind != "lcc2sp":
+        raise ValueError(f"EPSG:{epsg} is not LCC-2SP")
+    a, f = kproj.ELLIPSOIDS[p["ellps"]]
+    e2 = kproj._e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0 = math.radians(p["lat_0"])
+    m1, m2 = float(kproj._m(phi1, e2)), float(kproj._m(phi2, e2))
+    t0, t1, t2 = (
+        float(kproj._t(phi0, e)),
+        float(kproj._t(phi1, e)),
+        float(kproj._t(phi2, e)),
+    )
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F_ = m1 / (n * t1 ** n)
+    return {
+        "e": e, "n": n, "aF": a * F_, "rho0": a * F_ * t0 ** n,
+        "lam0": math.radians(p["lon_0"]), "x0": p["x_0"], "y0": p["y_0"],
+    }
+
+
+def lcc2sp_forward_cols(
+    lon: Column, lat: Column, epsg: int = 2154
+) -> tuple[Column, Column]:
+    """Lambert Conformal Conic 2SP forward (e.g. Lambert-93/EPSG:2154)
+    as pure column expressions — the codegen twin of
+    kernels.proj.lcc2sp_forward (reference polygon_to_crs reaches this
+    CRS via transform_geom, window_utils.py:1043-1122)."""
+    c = _lcc2sp_constants(epsg)
+    phi = F.radians(lat)
+    s = F.sin(phi)
+    t = F.tan(F.lit(math.pi / 4.0) - phi / F.lit(2.0)) / F.pow(
+        (F.lit(1.0) - F.lit(c["e"]) * s) / (F.lit(1.0) + F.lit(c["e"]) * s),
+        F.lit(c["e"] / 2.0),
+    )
+    rho = F.lit(c["aF"]) * F.pow(t, F.lit(c["n"]))
+    theta = F.lit(c["n"]) * (F.radians(lon) - F.lit(c["lam0"]))
+    x = F.lit(c["x0"]) + rho * F.sin(theta)
+    y = F.lit(c["y0"]) + F.lit(c["rho0"]) - rho * F.cos(theta)
+    return x, y
+
+
+def lcc2sp_forward_sql(lon: str, lat: str, epsg: int = 2154) -> tuple[str, str]:
+    """The identical LCC-2SP arithmetic as ANSI SQL (DuckDB twin)."""
+    c = _lcc2sp_constants(epsg)
+    phi = f"RADIANS({lat})"
+    s = f"SIN({phi})"
+    t = (
+        f"(TAN({math.pi / 4.0!r} - ({phi}) / 2.0)"
+        f" / POWER((1.0 - {c['e']!r} * ({s})) / (1.0 + {c['e']!r} * ({s})),"
+        f" {c['e'] / 2.0!r}))"
+    )
+    rho = f"({c['aF']!r} * POWER({t}, {c['n']!r}))"
+    theta = f"({c['n']!r} * (RADIANS({lon}) - {c['lam0']!r}))"
+    x = f"({c['x0']!r} + {rho} * SIN({theta}))"
+    y = f"({c['y0']!r} + {c['rho0']!r} - {rho} * COS({theta}))"
     return x, y

@@ -2647,3 +2647,41 @@ FROM stats s JOIN fp f USING (media_id)
 
 
 REGISTRY.update({"media_features": (q_media_features, _media_features_sql())})
+
+
+# --- LCC-2SP forward as JVM expressions (second oracle-gated CRS family) ---
+
+def q_transform_crs_lcc(spark, sf_dir):
+    """polygon_to_crs general-CRS forward (window_utils.py:1043-1122)
+    for Lambert-93 (EPSG:2154) as pure column expressions — the second
+    projection family gated end-to-end against a trig SQL twin (LAEA
+    proved mm-rounded libm parity between the JVM and DuckDB; LCC adds
+    TAN/POWER to the covered surface)."""
+    from .functions.geo import lcc2sp_forward_cols
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    x, y = lcc2sp_forward_cols(F.col("lon"), F.col("lat"), 2154)
+    return pts.select(
+        "event_id",
+        F.round(x, 3).alias("lcc_x"),
+        F.round(y, 3).alias("lcc_y"),
+    )
+
+
+def _transform_crs_lcc_sql() -> str:
+    from .functions.geo import lcc2sp_forward_sql
+
+    lon = "(-10.0 + (event_id * 48271 % 40000) / 1000.0)"
+    lat = "(35.0 + (event_id * 69621 % 25000) / 1000.0)"
+    x, y = lcc2sp_forward_sql(lon, lat, 2154)
+    return f"""
+SELECT event_id,
+       ROUND({x}, 3) AS lcc_x,
+       ROUND({y}, 3) AS lcc_y
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+REGISTRY.update(
+    {"geo_transform_crs_lcc": (q_transform_crs_lcc, _transform_crs_lcc_sql())}
+)

@@ -568,3 +568,25 @@ class TestValidFootprintAndLaea:
         xe, ye = kproj.laea_forward(lon, lat, p)
         assert np.abs(got["x"].to_numpy() - xe).max() < 1e-6
         assert np.abs(got["y"].to_numpy() - ye).max() < 1e-6
+
+    def test_lcc_cols_match_kernel(self, spark):
+        """JVM-expression LCC-2SP (Lambert-93) forward == numpy kernel
+        to < 1e-6 m over France-ish extents."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from georeader_spark.functions.geo import lcc2sp_forward_cols
+        from georeader_spark.kernels import proj as kproj
+
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-5.0, 10.0, 500)
+        lat = rng.uniform(41.0, 52.0, 500)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        x, y = lcc2sp_forward_cols(F.col("lon"), F.col("lat"), 2154)
+        got = df.select(x.alias("x"), y.alias("y")).toPandas()
+        _, p = kproj.EPSG_PARAMS[2154]
+        xe, ye = kproj.lcc2sp_forward(lon, lat, p)
+        assert np.abs(got["x"].to_numpy() - xe).max() < 1e-6
+        assert np.abs(got["y"].to_numpy() - ye).max() < 1e-6

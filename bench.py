@@ -55,6 +55,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_sessionize",
     "tpch_q1",
+    # round-2 families (one each): DataFrame-queries kNN join, LSH ANN,
+    # simhash dedup, multimodal decode, RPC georeferencing, general CRS
+    "geo_knn_join",
+    "ann_lsh_topk",
+    "text_simhash_pairs",
+    "media_features",
+    "raster_read_rpcs",
+    "geo_transform_crs_lcc",
 ]
 
 

@@ -249,6 +249,90 @@ def simhash_dedup_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.4,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """The web-corpus dedup endgame as one composition: MinHash-LSH
+    candidate pairs -> exact n-gram Jaccard verification computed ONLY
+    on candidate pairs (the intersection join is routed through the
+    candidate list, never all-pairs) -> connected components over the
+    verified pair graph (the raster CCL's distributed min-label
+    propagation, operators/vectorize._label_graph_components — the same
+    O(log D)-round machinery labels duplicate clusters) -> one row per
+    cluster: canonical (min) id, size, sorted members.
+
+    Scale shape: candidates bound every downstream cost; the component
+    graph is O(verified pairs), orders below corpus size, so the CC
+    loop's shuffles are tiny. No stage ever moves document bodies —
+    only (id, shingle-hash) and (id, id) rows."""
+    from .vectorize import _label_graph_components
+
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, num_perm, bands, shingle_k, bucket_cap
+    )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    sh = F.when(
+        n >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(0), n - shingle_k),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    shingled = docs.select(
+        F.col(id_col), F.array_distinct(sh).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = shingled.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+
+    with_a = cand.join(
+        ex.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n_sh").alias("n_a"),
+            "shingle",
+        ),
+        "id_a",
+    )
+    inter = (
+        with_a.join(
+            ex.select(
+                F.col(id_col).alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                "shingle",
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    verified = inter.where(jac >= jaccard_threshold).select("id_a", "id_b")
+
+    sym = verified.select(
+        F.col("id_a").alias("la"), F.col("id_b").alias("lb")
+    ).unionByName(
+        verified.select(F.col("id_b").alias("la"), F.col("id_a").alias("lb"))
+    )
+    comp = _label_graph_components(sym)
+    return (
+        comp.groupBy("comp")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("label")).alias("member_ids"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"), "n_members", "member_ids"
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2685,3 +2685,72 @@ FROM events WHERE event_id % 20 = 0
 REGISTRY.update(
     {"geo_transform_crs_lcc": (q_transform_crs_lcc, _transform_crs_lcc_sql())}
 )
+
+
+# --- near-dup clustering composite (the web-corpus dedup endgame) ----------
+
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH candidates -> candidate-only n-gram Jaccard verify
+    -> distributed connected components (the raster CCL's min-label
+    propagation reused on the pair graph) -> one row per duplicate
+    cluster (canonical min id, size, members). Fully oracle-gated: the
+    SQL twin recomputes candidates + Jaccard and labels components
+    with a recursive CTE."""
+    from .operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _augmented_docs(spark, sf_dir), jaccard_threshold=0.4
+    )
+
+
+def _dedup_clusters_sql(jaccard_threshold: float = 0.4) -> str:
+    return rf"""
+WITH RECURSIVE cand AS ({_minhash_lsh_sql()}),
+docs AS ({AUGMENTED_DOCS_SQL}),
+shex AS (
+  SELECT doc_id,
+         len(list_distinct(
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(
+                       range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                       i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')] END)) AS n_sh,
+         unnest(list_distinct(
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                THEN list_transform(
+                       range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                       i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))
+                ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')] END)) AS shingle
+  FROM docs
+),
+inter AS (
+  SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shex a ON a.doc_id = c.id_a
+  JOIN shex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3, 4
+),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {jaccard_threshold!r}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, minid) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.minid FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(minid) AS comp FROM reach GROUP BY node)
+SELECT comp AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       list(node ORDER BY node) AS member_ids
+FROM comp GROUP BY comp
+"""
+
+
+REGISTRY.update({"text_dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql())})

@@ -336,6 +336,27 @@ class TestDedupSimilarity:
         kept = exact_dedup_keep_first(df).select("doc_id").collect()
         assert sorted(r["doc_id"] for r in kept) == [1, 2]
 
+    def test_near_dup_clusters_transitive(self, spark):
+        """Three mutual near-dups + one unrelated doc -> ONE cluster of
+        3 with the min id canonical; transitivity comes from the CC
+        stage, not from any single pair."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (10, base),
+            (11, base + " extra"),
+            (12, "prefix " + base),
+            (99, "completely different words entirely here now and forever more"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from georeader_spark.operators.dedup import near_dup_clusters
+
+        out = near_dup_clusters(df, jaccard_threshold=0.3).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["cluster_id"] == 10
+        assert row["n_members"] == 3
+        assert list(row["member_ids"]) == [10, 11, 12]
+
     def test_minhash_lsh_finds_near_dups(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
         rows = [

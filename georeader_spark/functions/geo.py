@@ -414,3 +414,130 @@ def lcc2sp_forward_sql(lon: str, lat: str, epsg: int = 2154) -> tuple[str, str]:
     x = f"({c['x0']!r} + {rho} * SIN({theta}))"
     y = f"({c['y0']!r} + {c['rho0']!r} - {rho} * COS({theta}))"
     return x, y
+
+
+def _albers_constants(epsg: int) -> dict:
+    """Albers equal-area conic constants (Snyder 14-1..14-12)."""
+    import math
+
+    from ..kernels import proj as kproj
+
+    kind, p = kproj.EPSG_PARAMS[epsg]
+    if kind != "albers":
+        raise ValueError(f"EPSG:{epsg} is not Albers")
+    a, f = kproj.ELLIPSOIDS[p["ellps"]]
+    e2 = kproj._e2(f)
+    e = math.sqrt(e2)
+    phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+    phi0 = math.radians(p["lat_0"])
+    m1, m2 = float(kproj._m(phi1, e2)), float(kproj._m(phi2, e2))
+    q0, q1, q2 = (
+        float(kproj._q(phi0, e)),
+        float(kproj._q(phi1, e)),
+        float(kproj._q(phi2, e)),
+    )
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    return {
+        "e": e, "e2": e2, "n": n, "C": C, "a": a,
+        "rho0": a * math.sqrt(C - n * q0) / n,
+        "lam0": math.radians(p["lon_0"]), "x0": p["x_0"], "y0": p["y_0"],
+    }
+
+
+def albers_forward_cols(
+    lon: Column, lat: Column, epsg: int = 5070
+) -> tuple[Column, Column]:
+    """Albers equal-area conic forward as pure column expressions (the
+    third oracle-gated Snyder family; same literal-constants pattern as
+    laea/lcc2sp)."""
+    c = _albers_constants(epsg)
+    s = F.sin(F.radians(lat))
+    q = F.lit(1.0 - c["e2"]) * (
+        s / (F.lit(1.0) - F.lit(c["e2"]) * s * s)
+        - F.lit(1.0 / (2.0 * c["e"]))
+        * F.log((F.lit(1.0) - F.lit(c["e"]) * s) / (F.lit(1.0) + F.lit(c["e"]) * s))
+    )
+    rho = F.lit(c["a"]) * F.sqrt(F.lit(c["C"]) - F.lit(c["n"]) * q) / F.lit(c["n"])
+    theta = F.lit(c["n"]) * (F.radians(lon) - F.lit(c["lam0"]))
+    x = F.lit(c["x0"]) + rho * F.sin(theta)
+    y = F.lit(c["y0"]) + F.lit(c["rho0"]) - rho * F.cos(theta)
+    return x, y
+
+
+def albers_forward_sql(lon: str, lat: str, epsg: int = 5070) -> tuple[str, str]:
+    """The identical Albers arithmetic as ANSI SQL (DuckDB twin)."""
+    c = _albers_constants(epsg)
+    s = f"SIN(RADIANS({lat}))"
+    q = (
+        f"({1.0 - c['e2']!r} * (({s}) / (1.0 - {c['e2']!r} * ({s}) * ({s}))"
+        f" - {1.0 / (2.0 * c['e'])!r}"
+        f" * LN((1.0 - {c['e']!r} * ({s})) / (1.0 + {c['e']!r} * ({s})))))"
+    )
+    rho = f"({c['a']!r} * SQRT({c['C']!r} - {c['n']!r} * {q}) / {c['n']!r})"
+    theta = f"({c['n']!r} * (RADIANS({lon}) - {c['lam0']!r}))"
+    x = f"({c['x0']!r} + {rho} * SIN({theta}))"
+    y = f"({c['y0']!r} + {c['rho0']!r} - {rho} * COS({theta}))"
+    return x, y
+
+
+def _ps_constants(epsg: int) -> dict:
+    """Polar stereographic (variant B, Snyder 21-33..21-34) constants."""
+    import math
+
+    from ..kernels import proj as kproj
+
+    kind, p = kproj.EPSG_PARAMS[epsg]
+    if kind != "ps":
+        raise ValueError(f"EPSG:{epsg} is not polar stereographic")
+    a, f = kproj.ELLIPSOIDS[p["ellps"]]
+    e2 = kproj._e2(f)
+    e = math.sqrt(e2)
+    phi_ts = math.radians(abs(p["lat_ts"]))
+    return {
+        "e": e, "north": p["lat_ts"] > 0,
+        "amt": a * float(kproj._m(phi_ts, e2)) / float(kproj._t(phi_ts, e)),
+        "lam0": math.radians(p["lon_0"]), "x0": p["x_0"], "y0": p["y_0"],
+    }
+
+
+def ps_forward_cols(
+    lon: Column, lat: Column, epsg: int = 3413
+) -> tuple[Column, Column]:
+    """Polar stereographic forward as pure column expressions (the
+    fourth oracle-gated Snyder family; NSIDC north / Antarctic grids)."""
+    import math as _math
+
+    c = _ps_constants(epsg)
+    sign = 1.0 if c["north"] else -1.0
+    phi = F.radians(lat) * F.lit(sign)
+    s = F.sin(phi)
+    t = F.tan(F.lit(_math.pi / 4.0) - phi / F.lit(2.0)) / F.pow(
+        (F.lit(1.0) - F.lit(c["e"]) * s) / (F.lit(1.0) + F.lit(c["e"]) * s),
+        F.lit(c["e"] / 2.0),
+    )
+    rho = F.lit(c["amt"]) * t
+    dlam = F.radians(lon) - F.lit(c["lam0"])
+    x = F.lit(c["x0"]) + rho * F.sin(dlam)
+    y = F.lit(c["y0"]) + F.lit(-sign) * rho * F.cos(dlam)
+    return x, y
+
+
+def ps_forward_sql(lon: str, lat: str, epsg: int = 3413) -> tuple[str, str]:
+    """The identical polar-stereo arithmetic as ANSI SQL (DuckDB twin)."""
+    import math as _math
+
+    c = _ps_constants(epsg)
+    sign = 1.0 if c["north"] else -1.0
+    phi = f"(RADIANS({lat}) * {sign!r})"
+    s = f"SIN({phi})"
+    t = (
+        f"(TAN({_math.pi / 4.0!r} - ({phi}) / 2.0)"
+        f" / POWER((1.0 - {c['e']!r} * ({s})) / (1.0 + {c['e']!r} * ({s})),"
+        f" {c['e'] / 2.0!r}))"
+    )
+    rho = f"({c['amt']!r} * {t})"
+    dlam = f"(RADIANS({lon}) - {c['lam0']!r})"
+    x = f"({c['x0']!r} + {rho} * SIN({dlam}))"
+    y = f"({c['y0']!r} + {-sign!r} * {rho} * COS({dlam}))"
+    return x, y

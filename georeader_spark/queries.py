@@ -2754,3 +2754,52 @@ FROM comp GROUP BY comp
 
 
 REGISTRY.update({"text_dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql())})
+
+
+# --- Albers + polar-stereo forwards (remaining Snyder families gated) -------
+
+def q_transform_crs_albers_ps(spark, sf_dir):
+    """The two remaining proj-router families as oracle-gated column
+    expressions: NAD83/Conus Albers (EPSG:5070) and NSIDC polar stereo
+    north (EPSG:3413) forwards over the event points — with LAEA and
+    LCC-2SP this gates every projection family the EPSG registry router
+    dispatches (kernels/proj.EPSG_PARAMS)."""
+    from .functions.geo import albers_forward_cols, ps_forward_cols
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    ax, ay = albers_forward_cols(F.col("lon"), F.col("lat"), 5070)
+    px, py = ps_forward_cols(F.col("lon"), F.col("lat"), 3413)
+    return pts.select(
+        "event_id",
+        F.round(ax, 3).alias("albers_x"),
+        F.round(ay, 3).alias("albers_y"),
+        F.round(px, 3).alias("ps_x"),
+        F.round(py, 3).alias("ps_y"),
+    )
+
+
+def _transform_crs_albers_ps_sql() -> str:
+    from .functions.geo import albers_forward_sql, ps_forward_sql
+
+    lon = "(-10.0 + (event_id * 48271 % 40000) / 1000.0)"
+    lat = "(35.0 + (event_id * 69621 % 25000) / 1000.0)"
+    ax, ay = albers_forward_sql(lon, lat, 5070)
+    px, py = ps_forward_sql(lon, lat, 3413)
+    return f"""
+SELECT event_id,
+       ROUND({ax}, 3) AS albers_x,
+       ROUND({ay}, 3) AS albers_y,
+       ROUND({px}, 3) AS ps_x,
+       ROUND({py}, 3) AS ps_y
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+REGISTRY.update(
+    {
+        "geo_transform_crs_albers_ps": (
+            q_transform_crs_albers_ps,
+            _transform_crs_albers_ps_sql(),
+        )
+    }
+)

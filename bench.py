@@ -182,7 +182,7 @@ def run_at_parallelism(cpus: int, pages_path: str, n_pages: int,
 
 
 def run_scaling_interleaved(pages_path: str, n_pages: int,
-                            levels=(2, 8, 32), windows: int = 2) -> tuple:
+                            levels=(2, 8, 32), windows: int = 3) -> tuple:
     """N-vs-4N measurement robust to host drift: engine levels AND the
     pure-CPU burn control are measured in INTERLEAVED windows
     (burn, 2, 8, 32; burn, 2, 8, 32; ...) and the best window wins per
@@ -309,9 +309,43 @@ def main():
     print(json.dumps(result))
 
 
+def _read_best_recorded(path: str, current_pps: float) -> list:
+    """If a prior BASELINE.md records higher flagship throughput than
+    this run, carry it forward as an explicit 'best recorded' line —
+    the host drifts 3-10x (see BENCH notes), so a fresh trough-window
+    run must not silently erase a calm-window measurement; both numbers
+    stay visible and dated."""
+    import re
+
+    try:
+        old = open(path).read()
+    except OSError:
+        return []
+    m = re.search(r"(\d[\d.]*) pages/sec at local", old)
+    d = re.search(r"- date: (\S+ \S+)", old)
+    b = re.search(r"- best recorded flagship: ([\d.]+) pages/sec \(([^)]+)\)", old)
+    candidates = []
+    if m:
+        candidates.append(
+            (float(m.group(1)), f"{d.group(1) if d else 'earlier'} UTC")
+        )
+    if b:
+        candidates.append((float(b.group(1)), b.group(2)))
+    if not candidates:
+        return []
+    best_pps, best_when = max(candidates)
+    if best_pps <= current_pps:
+        return []
+    return [
+        f"- best recorded flagship: {best_pps} pages/sec ({best_when})"
+        " — this run saw a slower host window"
+    ]
+
+
 def _write_bench_md(result: dict):
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    best_recorded = _read_best_recorded(path, result["pages_per_sec"])
     lines = [
         "# BENCH/BASELINE.md — measured numbers",
         "",
@@ -320,6 +354,7 @@ def _write_bench_md(result: dict):
         f"- flagship pages pipeline: {result['pages_pipeline_rows']} pages, "
         f"{result['pages_per_sec']} pages/sec at local[{CPUS}]",
     ]
+    lines += best_recorded
     if result["scaling"]:
         s = result["scaling"]
         lines += [

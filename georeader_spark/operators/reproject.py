@@ -59,16 +59,24 @@ TILE_SCHEMA = StructType(
 
 
 def tile_blocked_from_long(
-    raster: DataFrame, height: int, width: int, tile: int = TILE
+    raster: DataFrame, height: int, width: int, tile: int = TILE,
+    fill_value: float = 0.0,
 ) -> DataFrame:
     """Long (band,row,col,value) -> tile-blocked binary rows via
-    grouped-map pandas UDF (dense assembly per tile)."""
+    grouped-map pandas UDF (dense assembly per tile).
+
+    ``fill_value`` seeds pixels absent from the long form (the
+    reference's fill_value_default, geotensor.py GeoTensor fill) so
+    "absent" is not conflated with value 0 for non-zero-fill rasters.
+    Tiles with NO rows at all still do not appear — callers that need
+    a dense cover must union in fill tiles (see
+    raster.py pad-plan usage)."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raster_id, band, trow, tcol = key
         h = min(tile, height - trow * tile)
         w = min(tile, width - tcol * tile)
-        block = np.zeros((h, w), dtype=np.float64)
+        block = np.full((h, w), fill_value, dtype=np.float64)
         r = pdf["row"].to_numpy() - trow * tile
         c = pdf["col"].to_numpy() - tcol * tile
         block[r, c] = pdf["value"].to_numpy()

@@ -336,19 +336,49 @@ def q_knn_ring(spark, sf_dir):
     """
     pts = _points(spark, sf_dir)
     r = 6
-    pts_c = pts.withColumn("cell", G.cell_encode(F.col("lon"), F.col("lat"), r))
+    pts_c = pts.withColumn(
+        "cell", G.cell_encode(F.col("lon"), F.col("lat"), r)
+    ).persist()
     _, cell_h = kcells.cell_size_deg(r)
+
+    # One cheap histogram job (which also materializes the cache):
+    # per-cell counts restricted to the max-radius disk of any query
+    # cell. The per-query initial radius is then the smallest disk
+    # holding >= 4*K points — the dense fixture resolves in ONE
+    # candidates job; the verified-bound loop below remains the
+    # exactness guarantee (histogram sizing is only a planner hint).
+    HIST_R = 8
+    hist_cells = sorted(
+        {c for _, qlon, qlat in KNN_QUERIES
+         for c in kcells.ring(kcells.encode(qlon, qlat, r), HIST_R)}
+    )
+    hist_df = spark.createDataFrame([(c,) for c in hist_cells], "cell long")
+    hist = dict(
+        pts_c.join(F.broadcast(hist_df), "cell")
+        .groupBy("cell").count().collect()
+    )
+
+    def _radius_hint(qlon: float, qlat: float) -> int:
+        # smallest disk m holding >= K points; a top-K point then lies
+        # within (m+1)*cell_diag, and the verify bound at query radius
+        # k is k*cell_h*cmin — so k = 2*(m+1) makes round 1 verify.
+        qcell = kcells.encode(qlon, qlat, r)
+        for rad in range(1, HIST_R + 1):
+            got = sum(hist.get(c, 0) for c in kcells.ring(qcell, rad))
+            if got >= KNN_K:
+                return min(HIST_R, 2 * (rad + 1))
+        return HIST_R
 
     done_rows = []
     pending = list(KNN_QUERIES)
-    k_ring = 2  # dense fixture: radius-2 (25 cells) almost always suffices
+    radius = {q: _radius_hint(qlon, qlat) for q, qlon, qlat in KNN_QUERIES}
     for _round in range(6):
         if not pending:
             break
         rows = []
         for q, qlon, qlat in pending:
             qcell = kcells.encode(qlon, qlat, r)
-            for c in kcells.ring(qcell, k_ring):
+            for c in kcells.ring(qcell, radius[q]):
                 rows.append((q, c))
         ring_df = spark.createDataFrame(rows, "q_id int, cell long")
         cand = pts_c.join(F.broadcast(ring_df), "cell")
@@ -367,14 +397,15 @@ def q_knn_ring(spark, sf_dir):
             .collect()
         )
         # guarantee in *planar degree* metric: any point outside ring
-        # k_ring is >= k_ring * cell_h degrees away in lat, or
-        # k_ring * cell_h * cos(lat_range) in weighted lon
+        # radius[q] is >= radius[q] * cell_h degrees away in lat, or
+        # radius[q] * cell_h * cos(lat_range) in weighted lon
         by_q: dict = {}
         for row in ranked:
             by_q.setdefault(row["q_id"], []).append(row)
         done = set()
         for q, qlon, qlat in pending:
             got = by_q.get(q, [])
+            k_ring = radius[q]
             lat_max = min(89.9, abs(qlat) + (k_ring + 1) * cell_h)
             cmin = max(math.cos(math.radians(lat_max)), 0.0)
             bound = (k_ring * cell_h * cmin) ** 2
@@ -384,8 +415,10 @@ def q_knn_ring(spark, sf_dir):
                     (q, g["point_id"], g["rank"]) for g in got
                 )
         pending = [p for p in pending if p[0] not in done]
-        k_ring *= 2
+        for q, _, _ in pending:
+            radius[q] *= 2
 
+    pts_c.unpersist()
     results = spark.createDataFrame(
         done_rows, "q_id int, point_id long, rank int"
     ) if done_rows else None
@@ -1007,15 +1040,24 @@ GROUP BY 1, 2
 
 
 def q_join_orders_nation(spark, sf_dir):
-    """Broadcast-dim join shakeout: order counts per nation."""
+    """Broadcast-dim join shakeout: order counts per nation.
+
+    Scale shape: only the 25-row ``nation`` dim is broadcast — customer
+    is sf-scaled (150k rows/SF) and broadcasting it OOMs at cluster
+    scale. Orders are partially aggregated to one row per custkey
+    BEFORE the customer join, so the shuffle carries |distinct
+    custkeys| rows instead of |orders| (~10x less); AQE sizes the
+    customer join."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        per_cust.join(c.select("c_custkey", "c_nationkey"),
+                      per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count("*").alias("n_orders"))
+        .agg(F.sum("cnt").cast("long").alias("n_orders"))
     )
 
 

@@ -83,6 +83,23 @@ class TestPlanShapes:
         plan = _plan(pages_pipeline(spark, n_rows=2000))
         assert plan.count("geo.position") <= 8, plan.count("geo.position")
 
+    def test_join_orders_nation_never_broadcasts_customer(self, spark, sf_dir):
+        """customer is sf-scaled (150k rows/SF): broadcasting it OOMs
+        at cluster scale. Only the 25-row nation dim may broadcast, and
+        orders must partial-aggregate per custkey before the join."""
+        from georeader_spark.queries import q_join_orders_nation
+
+        df = q_join_orders_nation(spark, sf_dir)
+        opt = _optimized(df)
+        # the only ResolvedHint/broadcast target must be nation
+        for line in opt.splitlines():
+            if "broadcast" in line.lower() and "hint" in line.lower():
+                assert "customer" not in line.lower()
+        plan = _plan(df)
+        # pre-agg on custkey happens below the customer join: the
+        # HashAggregate on o_custkey must exist
+        assert "o_custkey" in plan and "HashAggregate" in plan
+
     def test_parquet_filter_pushdown(self, spark, sf_dir):
         """Predicates on the scan must reach parquet (PushedFilters)."""
         df = spark.read.parquet(f"{sf_dir}/events.parquet").where(

@@ -279,6 +279,22 @@ class TestTileBlocked:
         b = _long_to_np(back.collect(), 100, 120)
         np.testing.assert_array_equal(a, b)
 
+    def test_fill_value_not_conflated_with_zero(self, spark):
+        """A sparse long form with fill=-9999: absent pixels must come
+        back as -9999, not 0 (reference fill_value_default semantics)."""
+        src = R.synth_raster(spark, 1, 64, 64).where(
+            (F.col("row") + F.col("col")) % 3 == 0
+        )
+        tiles = tile_blocked_from_long(src, 64, 64, tile=32, fill_value=-9999.0)
+        back = _long_to_np(
+            tile_blocked_to_long(tiles, tile=32).collect(), 64, 64
+        )
+        idx = np.arange(64 * 64, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(64, 64).astype(float)
+        rr, cc = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        expect = np.where((rr + cc) % 3 == 0, src_np, -9999.0)
+        np.testing.assert_array_equal(back, expect)
+
     def test_resample_bilinear_matches_numpy(self, spark):
         H, W = 100, 120
         src_t = Affine.from_origin(0, 100, 1, 1)

@@ -42,15 +42,14 @@ HEADLINE = [
     "geo_knn_ring",
     "geo_tile_assign",
     "geo_xyz_tiles",
-    "geo_solarday",
+    "geo_solarday_utm",
     "raster_band_stats",
     "raster_grid_algebra",
     "raster_mosaic",
     "raster_reproject_nearest",
-    "raster_downsample",
+    "raster_downsample_pyramid",
     "text_dedup_exact",
-    "text_token_count",
-    "text_quality_score",
+    "text_stats",
     "text_minhash_lsh",
     "ann_cosine_topk",
     "events_sessionize",
@@ -62,7 +61,7 @@ HEADLINE = [
     "text_simhash_pairs",
     "media_features",
     "raster_read_rpcs",
-    "geo_transform_crs_lcc",
+    "geo_transform_crs_families",
 ]
 
 

@@ -541,3 +541,88 @@ def ps_forward_sql(lon: str, lat: str, epsg: int = 3413) -> tuple[str, str]:
     x = f"({c['x0']!r} + {rho} * SIN({dlam}))"
     y = f"({c['y0']!r} + {-sign!r} * {rho} * COS({dlam}))"
     return x, y
+
+
+def _tm_constants(epsg: int) -> dict:
+    """Transverse-Mercator (Krüger) constants for the expression twins.
+
+    4 series terms: term 4 contributes ~5e-5 m — far below the mm
+    rounding both engines apply — while halving expression size vs the
+    kernel's 6-term series (the kernel keeps 6 for nm round-trips).
+    The meridian offset m0 is folded into y0."""
+    from ..kernels import proj as kproj
+
+    kind, p = kproj.EPSG_PARAMS[epsg]
+    if kind != "tm":
+        raise ValueError(f"EPSG:{epsg} is not transverse Mercator")
+    if "towgs84" in p:
+        raise ValueError(
+            f"EPSG:{epsg} needs a Helmert datum shift — expression twins "
+            "cover same-datum TM only (use kernels.proj.transform_points)"
+        )
+    a, f = kproj.ELLIPSOIDS[p["ellps"]]
+    e = math.sqrt(kproj._e2(f))
+    A, alpha, _ = kproj._tm_series(a, f)
+    kA = p["k_0"] * A
+    return {
+        "e": e, "kA": kA, "alpha": alpha[:4],
+        "lam0": math.radians(p["lon_0"]), "x0": p["x_0"],
+        "y0": p["y_0"] - kA * kproj._tm_xi0(p),
+    }
+
+
+def tm_forward_cols(lon: Column, lat: Column, epsg: int = 25832) -> tuple[Column, Column]:
+    """General transverse-Mercator forward (Krüger series) as pure
+    column expressions — covers national grids (ETRS89/UTM, Gauss-
+    Krüger) beyond the WGS84-only UTM fast path (reference
+    polygon_to_crs reaches these via transform_geom,
+    window_utils.py:1043-1122). Hyperbolics are composed from EXP/LN
+    because the DuckDB twin lacks SINH/COSH — both engines must run
+    the *same* formula for mm-rounded hash parity."""
+    c = _tm_constants(epsg)
+    e = c["e"]
+    s = F.sin(F.radians(lat))
+    w = F.lit(0.5) * F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) - F.lit(
+        e * 0.5
+    ) * F.log((F.lit(1.0) + F.lit(e) * s) / (F.lit(1.0) - F.lit(e) * s))
+    t = (F.exp(w) - F.exp(-w)) / F.lit(2.0)
+    lam = F.radians(lon) - F.lit(c["lam0"])
+    cl = F.cos(lam)
+    xip = F.atan2(t, cl)
+    u = F.sin(lam) / F.sqrt(t * t + cl * cl)
+    etap = F.log(u + F.sqrt(u * u + F.lit(1.0)))
+    xi, eta = xip, etap
+    for j, aj in enumerate(c["alpha"], start=1):
+        ch = (F.exp(F.lit(2.0 * j) * etap) + F.exp(F.lit(-2.0 * j) * etap)) / F.lit(2.0)
+        sh = (F.exp(F.lit(2.0 * j) * etap) - F.exp(F.lit(-2.0 * j) * etap)) / F.lit(2.0)
+        xi = xi + F.lit(aj) * F.sin(F.lit(2.0 * j) * xip) * ch
+        eta = eta + F.lit(aj) * F.cos(F.lit(2.0 * j) * xip) * sh
+    x = F.lit(c["x0"]) + F.lit(c["kA"]) * eta
+    y = F.lit(c["y0"]) + F.lit(c["kA"]) * xi
+    return x, y
+
+
+def tm_forward_sql(lon: str, lat: str, epsg: int = 25832) -> tuple[str, str]:
+    """The identical Krüger arithmetic as ANSI SQL (DuckDB twin)."""
+    c = _tm_constants(epsg)
+    e = c["e"]
+    s = f"SIN(RADIANS({lat}))"
+    w = (
+        f"(0.5 * LN((1.0 + {s}) / (1.0 - {s})) - {e * 0.5!r}"
+        f" * LN((1.0 + {e!r} * {s}) / (1.0 - {e!r} * {s})))"
+    )
+    t = f"((EXP({w}) - EXP(-{w})) / 2.0)"
+    lam = f"(RADIANS({lon}) - {c['lam0']!r})"
+    cl = f"COS({lam})"
+    xip = f"ATAN2({t}, {cl})"
+    u = f"(SIN({lam}) / SQRT({t} * {t} + {cl} * {cl}))"
+    etap = f"LN({u} + SQRT({u} * {u} + 1.0))"
+    xi, eta = xip, etap
+    for j, aj in enumerate(c["alpha"], start=1):
+        ch = f"((EXP({2.0 * j!r} * {etap}) + EXP({-2.0 * j!r} * {etap})) / 2.0)"
+        sh = f"((EXP({2.0 * j!r} * {etap}) - EXP({-2.0 * j!r} * {etap})) / 2.0)"
+        xi = f"({xi} + {aj!r} * SIN({2.0 * j!r} * {xip}) * {ch})"
+        eta = f"({eta} + {aj!r} * COS({2.0 * j!r} * {xip}) * {sh})"
+    x = f"({c['x0']!r} + {c['kA']!r} * {eta})"
+    y = f"({c['y0']!r} + {c['kA']!r} * {xi})"
+    return x, y

@@ -83,3 +83,74 @@ def srf_gaussian_weight_sql(wavelength: str, center: float, fwhm: float) -> str:
     sigma = fwhm / _FWHM_TO_SIGMA
     z = f"(({wavelength} - {center!r}) / {sigma!r})"
     return f"EXP(-0.5 * {z} * {z})"
+
+
+def _sza_parts(doy, frac_hour, lon, lat, *, is_sql: bool):
+    """Shared NOAA solar-position formula text/tree builder. The
+    reference's compute_sza (reflectance.py:241-303) defers to pysolar
+    (SPA); this is NOAA's general solar position approximation (NOAA
+    Global Monitoring Division solar calculator, public domain) as pure
+    column arithmetic — within ~0.2 deg of SPA, no per-row Python. Both
+    engines run the identical formula (cols/sql twins)."""
+    if is_sql:
+        g = f"({2.0 * PI / 365.0!r} * (CAST({doy} AS DOUBLE) - 1.0 + ({frac_hour} - 12.0) / 24.0))"
+        eqtime = (
+            f"(229.18 * (0.000075 + 0.001868 * COS({g}) - 0.032077 * SIN({g})"
+            f" - 0.014615 * COS(2.0 * {g}) - 0.040849 * SIN(2.0 * {g})))"
+        )
+        decl = (
+            f"(0.006918 - 0.399912 * COS({g}) + 0.070257 * SIN({g})"
+            f" - 0.006758 * COS(2.0 * {g}) + 0.000907 * SIN(2.0 * {g})"
+            f" - 0.002697 * COS(3.0 * {g}) + 0.00148 * SIN(3.0 * {g}))"
+        )
+        ha = f"RADIANS((({frac_hour} * 60.0 + {eqtime} + 4.0 * {lon}) / 4.0) - 180.0)"
+        cos_sza = (
+            f"(SIN(RADIANS({lat})) * SIN({decl})"
+            f" + COS(RADIANS({lat})) * COS({decl}) * COS({ha}))"
+        )
+        return f"DEGREES(ACOS(LEAST(GREATEST({cos_sza}, -1.0), 1.0)))"
+    g = F.lit(2.0 * PI / 365.0) * (
+        doy.cast("double") - F.lit(1.0) + (frac_hour - F.lit(12.0)) / F.lit(24.0)
+    )
+    eqtime = F.lit(229.18) * (
+        F.lit(0.000075)
+        + F.lit(0.001868) * F.cos(g)
+        - F.lit(0.032077) * F.sin(g)
+        - F.lit(0.014615) * F.cos(F.lit(2.0) * g)
+        - F.lit(0.040849) * F.sin(F.lit(2.0) * g)
+    )
+    decl = (
+        F.lit(0.006918)
+        - F.lit(0.399912) * F.cos(g)
+        + F.lit(0.070257) * F.sin(g)
+        - F.lit(0.006758) * F.cos(F.lit(2.0) * g)
+        + F.lit(0.000907) * F.sin(F.lit(2.0) * g)
+        - F.lit(0.002697) * F.cos(F.lit(3.0) * g)
+        + F.lit(0.00148) * F.sin(F.lit(3.0) * g)
+    )
+    ha = F.radians((frac_hour * F.lit(60.0) + eqtime + F.lit(4.0) * lon) / F.lit(4.0) - F.lit(180.0))
+    cos_sza = F.sin(F.radians(lat)) * F.sin(decl) + F.cos(F.radians(lat)) * F.cos(
+        decl
+    ) * F.cos(ha)
+    return F.degrees(F.acos(F.least(F.greatest(cos_sza, F.lit(-1.0)), F.lit(1.0))))
+
+
+def compute_sza(ts: Column, lon: Column, lat: Column) -> Column:
+    """Solar zenith angle (degrees) from UTC timestamp + lon/lat — the
+    reference compute_sza (reflectance.py:241-303) re-expressed as
+    whole-stage-codegen column arithmetic (no pysolar, no UDF)."""
+    frac_hour = (
+        F.hour(ts).cast("double")
+        + F.minute(ts).cast("double") / F.lit(60.0)
+        + F.second(ts).cast("double") / F.lit(3600.0)
+    )
+    return _sza_parts(F.dayofyear(ts), frac_hour, lon, lat, is_sql=False)
+
+
+def compute_sza_sql(ts: str, lon: str, lat: str) -> str:
+    """The identical NOAA arithmetic as ANSI SQL (DuckDB twin)."""
+    frac_hour = (
+        f"(CAST(hour({ts}) AS DOUBLE) + CAST(minute({ts}) AS DOUBLE) / 60.0"
+        f" + CAST(second({ts}) AS DOUBLE) / 3600.0)"
+    )
+    return _sza_parts(f"dayofyear({ts})", frac_hour, lon, lat, is_sql=True)

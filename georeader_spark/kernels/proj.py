@@ -36,6 +36,9 @@ ArrayLike = Union[float, np.ndarray]
 ELLIPSOIDS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
+    # national-grid datums (EPSG registry, public): OSGB36 / ED50
+    "AIRY1830": (6377563.396, 1.0 / 299.3249646),
+    "INTL1924": (6378388.0, 1.0 / 297.0),
 }
 
 
@@ -311,6 +314,173 @@ def ps_inverse(x, y, p):
 
 
 # ---------------------------------------------------------------------------
+# Transverse Mercator (Krüger series), arbitrary ellipsoid/k0/origin —
+# the family behind every national grid (OSGB, ETRS89/UTM, ED50/UTM,
+# Gauss-Krüger). Same series as kernels/crs.py's WGS84-only UTM, but
+# parameterized. Karney, "Transverse Mercator with an accuracy of a few
+# nanometers" (2011, public) / Krüger 1912 coefficients to n^6.
+# ---------------------------------------------------------------------------
+
+def _tm_series(a: float, f: float):
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = [
+        n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+        - 127.0 * n5 / 288.0 + 7891.0 * n6 / 37800.0,
+        13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+        + 281.0 * n5 / 630.0 - 1983433.0 * n6 / 1935360.0,
+        61.0 * n3 / 240.0 - 103.0 * n4 / 140.0 + 15061.0 * n5 / 26880.0
+        + 167603.0 * n6 / 181440.0,
+        49561.0 * n4 / 161280.0 - 179.0 * n5 / 168.0
+        + 6601661.0 * n6 / 7257600.0,
+        34729.0 * n5 / 80640.0 - 3418889.0 * n6 / 1995840.0,
+        212378941.0 * n6 / 319334400.0,
+    ]
+    beta = [
+        n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0
+        - 81.0 * n5 / 512.0 + 96199.0 * n6 / 604800.0,
+        n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0 + 46.0 * n5 / 105.0
+        - 1118711.0 * n6 / 3870720.0,
+        17.0 * n3 / 480.0 - 37.0 * n4 / 840.0 - 209.0 * n5 / 4480.0
+        + 5569.0 * n6 / 90720.0,
+        4397.0 * n4 / 161280.0 - 11.0 * n5 / 504.0 - 830251.0 * n6 / 7257600.0,
+        4583.0 * n5 / 161280.0 - 108847.0 * n6 / 3991680.0,
+        20648693.0 * n6 / 638668800.0,
+    ]
+    return A, alpha, beta
+
+
+def _tm_xi0(p) -> float:
+    """Meridian-arc offset term xi(lat_0) (zero for equator-origin TM)."""
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e = math.sqrt(_e2(f))
+    _, alpha, _ = _tm_series(a, f)
+    phi0 = math.radians(p["lat_0"])
+    if phi0 == 0.0:
+        return 0.0
+    s0 = math.sin(phi0)
+    t0 = math.sinh(math.atanh(s0) - e * math.atanh(e * s0))
+    xi0p = math.atan(t0)
+    return xi0p + sum(
+        aj * math.sin(2.0 * j * xi0p) for j, aj in enumerate(alpha, start=1)
+    )
+
+
+def tm_forward(lon, lat, p):
+    """General transverse Mercator forward (Krüger series)."""
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e = math.sqrt(_e2(f))
+    A, alpha, _ = _tm_series(a, f)
+    k0 = p["k_0"]
+    lam0 = math.radians(p["lon_0"])
+    m0 = k0 * A * _tm_xi0(p)
+
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = p["x_0"] + k0 * A * eta
+    y = p["y_0"] + k0 * A * xi - m0
+    return x, y
+
+
+def tm_inverse(x, y, p):
+    """General transverse Mercator inverse (Krüger beta series)."""
+    a, f = ELLIPSOIDS[p["ellps"]]
+    e = math.sqrt(_e2(f))
+    A, _, beta = _tm_series(a, f)
+    k0 = p["k_0"]
+    lam0 = math.radians(p["lon_0"])
+    m0 = k0 * A * _tm_xi0(p)
+
+    xi = (np.asarray(y, dtype=np.float64) - p["y_0"] + m0) / (k0 * A)
+    eta = (np.asarray(x, dtype=np.float64) - p["x_0"]) / (k0 * A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, bj in enumerate(beta, start=1):
+        xi_p = xi_p - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+    phi = chi.copy()
+    for _ in range(8):
+        sp = np.sin(phi)
+        t_i = np.sinh(np.arctanh(sp) - e * np.arctanh(e * sp))
+        phi = phi + (chi - np.arctan(t_i))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam + lam0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# 7-parameter Helmert datum shift (EPSG 9606 position-vector) — what the
+# reference gets from PROJ's towgs84 pipeline for non-WGS84 datums.
+# ---------------------------------------------------------------------------
+
+def geodetic_to_ecef(lon, lat, ellps: str, h=0.0):
+    a, f = ELLIPSOIDS[ellps]
+    e2 = _e2(f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    X = (N + h) * np.cos(phi) * np.cos(lam)
+    Y = (N + h) * np.cos(phi) * np.sin(lam)
+    Z = (N * (1.0 - e2) + h) * s
+    return X, Y, Z
+
+
+def ecef_to_geodetic(X, Y, Z, ellps: str, iters: int = 8):
+    a, f = ELLIPSOIDS[ellps]
+    e2 = _e2(f)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    pr = np.sqrt(X * X + Y * Y)
+    phi = np.arctan2(Z, pr * (1.0 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * N * s, pr)
+    lam = np.arctan2(Y, X)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def helmert_apply(X, Y, Z, t7, inverse: bool = False):
+    """(dx, dy, dz [m], rx, ry, rz [arc-sec], s [ppm]) position-vector
+    small-angle transform; ``inverse`` negates the parameters (the
+    standard reversal — second-order error < 0.1 mm)."""
+    dx, dy, dz, rx, ry, rz, s_ppm = t7
+    if inverse:
+        dx, dy, dz, rx, ry, rz, s_ppm = (-v for v in t7)
+    as2rad = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * as2rad, ry * as2rad, rz * as2rad
+    m = 1.0 + s_ppm * 1e-6
+    X2 = dx + m * (X - rz * Y + ry * Z)
+    Y2 = dy + m * (rz * X + Y - rx * Z)
+    Z2 = dz + m * (-ry * X + rx * Y + Z)
+    return X2, Y2, Z2
+
+
+def datum_to_wgs84(lon, lat, ellps: str, towgs84):
+    X, Y, Z = geodetic_to_ecef(lon, lat, ellps)
+    X, Y, Z = helmert_apply(X, Y, Z, towgs84)
+    return ecef_to_geodetic(X, Y, Z, "WGS84")
+
+
+def datum_from_wgs84(lon, lat, ellps: str, towgs84):
+    X, Y, Z = geodetic_to_ecef(lon, lat, "WGS84")
+    X, Y, Z = helmert_apply(X, Y, Z, towgs84, inverse=True)
+    return ecef_to_geodetic(X, Y, Z, ellps)
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry + any-to-any transform
 # ---------------------------------------------------------------------------
 
@@ -336,12 +506,25 @@ EPSG_PARAMS: Dict[int, Tuple[str, dict]] = {
     3413: ("ps", dict(ellps="WGS84", lat_ts=70.0, lon_0=-45.0, x_0=0.0, y_0=0.0)),
     # WGS84 / Antarctic Polar Stereographic
     3031: ("ps", dict(ellps="WGS84", lat_ts=-71.0, lon_0=0.0, x_0=0.0, y_0=0.0)),
+    # OSGB36 / British National Grid (Airy 1830 + 7-param Helmert,
+    # EPSG transformation 1314)
+    27700: ("tm", dict(ellps="AIRY1830", lat_0=49.0, lon_0=-2.0,
+                       k_0=0.9996012717, x_0=400000.0, y_0=-100000.0,
+                       towgs84=(446.448, -125.157, 542.06,
+                                0.1502, 0.247, 0.8421, -20.4894))),
+    # ETRS89 / UTM zone 32N (ETRS89 == WGS84 at this accuracy tier)
+    25832: ("tm", dict(ellps="GRS80", lat_0=0.0, lon_0=9.0, k_0=0.9996,
+                       x_0=500000.0, y_0=0.0)),
+    # ED50 / UTM zone 30N (International 1924 + 3-param mean-Europe shift)
+    23030: ("tm", dict(ellps="INTL1924", lat_0=0.0, lon_0=-3.0, k_0=0.9996,
+                       x_0=500000.0, y_0=0.0,
+                       towgs84=(-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0))),
 }
 
 _FWD = {"lcc2sp": lcc2sp_forward, "albers": albers_forward,
-        "laea": laea_forward, "ps": ps_forward}
+        "laea": laea_forward, "ps": ps_forward, "tm": tm_forward}
 _INV = {"lcc2sp": lcc2sp_inverse, "albers": albers_inverse,
-        "laea": laea_inverse, "ps": ps_inverse}
+        "laea": laea_inverse, "ps": ps_inverse, "tm": tm_inverse}
 
 
 def _epsg_code(crs: str) -> int:
@@ -365,7 +548,10 @@ def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
         return kcrs.utm_to_wgs84(x, y, code - 32700, south=True)
     if code in EPSG_PARAMS:
         fam, p = EPSG_PARAMS[code]
-        return _INV[fam](x, y, p)
+        lon, lat = _INV[fam](x, y, p)
+        if "towgs84" in p:
+            lon, lat = datum_to_wgs84(lon, lat, p["ellps"], p["towgs84"])
+        return lon, lat
     raise ValueError(f"EPSG:{code} not in registry (add params to EPSG_PARAMS)")
 
 
@@ -381,6 +567,8 @@ def from_wgs84(lon: ArrayLike, lat: ArrayLike, crs: str):
         return kcrs.wgs84_to_utm(lon, lat, code - 32700, south=True)
     if code in EPSG_PARAMS:
         fam, p = EPSG_PARAMS[code]
+        if "towgs84" in p:
+            lon, lat = datum_from_wgs84(lon, lat, p["ellps"], p["towgs84"])
         return _FWD[fam](lon, lat, p)
     raise ValueError(f"EPSG:{code} not in registry (add params to EPSG_PARAMS)")
 

@@ -357,6 +357,77 @@ class TestProjGeneral:
             k = math.hypot(float(x2 - x1), float(y2 - y1)) / (M * math.radians(d))
             assert abs(k - expect) < 1e-6
 
+    def test_tm_osgb_worked_example(self):
+        """OS 'A guide to coordinate systems in Great Britain' worked
+        example: Caister water tower, OSGB36 geodetic -> BNG E/N."""
+        from georeader_spark.kernels import proj as P
+
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        _, p = P.EPSG_PARAMS[27700]
+        x, y = P.tm_forward(lon, lat, p)
+        np.testing.assert_allclose([x, y], [651409.903, 313177.270], atol=1e-3)
+        lon2, lat2 = P.tm_inverse(x, y, p)
+        np.testing.assert_allclose([lon2, lat2], [lon, lat], atol=1e-12)
+
+    def test_tm_25832_matches_wgs84_utm32(self):
+        """ETRS89/UTM32 (GRS80) must agree with the WGS84-only UTM fast
+        path to sub-mm (the two ellipsoids differ in f at 1e-12)."""
+        from georeader_spark.kernels import proj as P
+
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(6.0, 12.0, 200)
+        lat = rng.uniform(38.0, 60.0, 200)
+        x, y = P.from_wgs84(lon, lat, "EPSG:25832")
+        xu, yu = crs.wgs84_to_utm(lon, lat, 32)
+        assert float(np.abs(x - xu).max()) < 1e-3
+        assert float(np.abs(y - yu).max()) < 1e-3
+
+    def test_helmert_datum_shift_roundtrip_and_direction(self):
+        """7-param Helmert (EPSG:27700 OSGB36) and 3-param (EPSG:23030
+        ED50): WGS84 round-trips through the datum pipeline, and the
+        shift moves coordinates the right way by the right magnitude
+        (ED50 UTM coords sit ~100-250 m NE of WGS84 UTM in Iberia)."""
+        from georeader_spark.kernels import proj as P
+
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(-5.5, 1.5, 200)
+        lat = rng.uniform(50.0, 58.0, 200)
+        x, y = P.from_wgs84(lon, lat, "EPSG:27700")
+        lon2, lat2 = P.to_wgs84(x, y, "EPSG:27700")
+        # negated-parameter Helmert reversal: second-order error ~mm
+        assert float(np.abs(lon2 - lon).max()) < 1e-6
+        assert float(np.abs(lat2 - lat).max()) < 1e-6
+
+        # London anchor: BNG for (-0.12771, 51.50741) is ~(530035, 180381)
+        xa, ya = P.from_wgs84(-0.12771, 51.50741, "EPSG:27700")
+        np.testing.assert_allclose([xa, ya], [530034.96, 180381.37], atol=0.5)
+
+        ex, ey = P.from_wgs84(-3.70391, 40.41681, "EPSG:23030")
+        wx, wy = crs.wgs84_to_utm(-3.70391, 40.41681, 30)
+        assert 50.0 < float(ex - wx) < 250.0
+        assert 50.0 < float(ey - wy) < 250.0
+
+    def test_tm_expression_twins_match_kernel(self):
+        """tm_forward_sql (DuckDB) vs the 6-term numpy kernel: the
+        4-term expression twin must agree below the mm rounding the
+        oracle query applies."""
+        import duckdb
+
+        from georeader_spark.functions.geo import tm_forward_sql
+        from georeader_spark.kernels import proj as P
+
+        xs, ys = tm_forward_sql("lon", "lat", 25832)
+        rows = duckdb.sql(
+            "WITH pts AS (SELECT (6.0 + i * 0.37 % 6) AS lon,"
+            " (38.0 + i * 0.61 % 22) AS lat FROM range(50) t(i))"
+            f" SELECT {xs} AS x, {ys} AS y, lon, lat FROM pts"
+        ).fetchall()
+        for x, y, lon, lat in rows:
+            kx, ky = P.from_wgs84(lon, lat, "EPSG:25832")
+            assert abs(x - float(kx)) < 5e-4
+            assert abs(y - float(ky)) < 5e-4
+
     def test_any_to_any_chain(self):
         from georeader_spark.kernels import proj as P
 

@@ -62,6 +62,7 @@ HEADLINE = [
     "media_features",
     "raster_read_rpcs",
     "geo_transform_crs_families",
+    "skew_salted_join",
 ]
 
 
@@ -163,10 +164,52 @@ def pages_throughput(spark, pages_path: str, n_pages: int, runs: int = 3) -> tup
     return best, n_pages / best
 
 
+def skew_pair_seconds(spark, sf_dir: str, runs: int = 2) -> dict:
+    """Salted vs unsalted skewed JOIN wall time with broadcast joins
+    disabled + AQE off — the 100 TB stand-in where the dim cannot
+    broadcast and the hot cell's rows funnel into one sort-merge
+    reducer unless explicitly salted (SURVEY §7.1 step 6). The tiny
+    hot-set/salt relations inside salted_join still broadcast via
+    explicit hints (intended: they are O(hot_keys), not sf-scaled)."""
+    from georeader_spark.queries import _skew_fixture, skew_join_agg
+
+    amplify = 256
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"skew_facts_{os.path.basename(sf_dir.rstrip('/'))}_a{amplify}.parquet",
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        facts, _ = _skew_fixture(spark, sf_dir, amplify=amplify, payload=True)
+        facts.repartition(64).write.mode("overwrite").parquet(cache)
+    facts_df = spark.read.parquet(cache)
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kw = dict(amplify=amplify, payload=True, facts_df=facts_df)
+        out = {}
+        for name, df in (
+            ("salted", skew_join_agg(spark, sf_dir, salted=True, **kw)),
+            ("unsalted", skew_join_agg(spark, sf_dir, salted=False, **kw)),
+        ):
+            df.count()  # warm codegen
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                df.count()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    return out
+
+
 def run_at_parallelism(cpus: int, pages_path: str, n_pages: int,
-                       runs: int = 3) -> float:
+                       runs: int = 3, skew_sf_dir: str | None = None) -> tuple:
     """Throughput of the pages pipeline at local[cpus] in a fresh
-    session (the sandbox proxy for a cluster size, per BASELINE.md)."""
+    session (the sandbox proxy for a cluster size, per BASELINE.md).
+    When ``skew_sf_dir`` is set, also times the salted/unsalted skew
+    pair in the same session/window."""
     from georeader_spark.plans.session import get_spark
 
     conf = dict(BENCH_CONF)
@@ -175,9 +218,10 @@ def run_at_parallelism(cpus: int, pages_path: str, n_pages: int,
                       shuffle_partitions=2 * cpus, extra_conf=conf)
     try:
         _, pps = pages_throughput(spark, pages_path, n_pages, runs=runs)
+        skew = skew_pair_seconds(spark, skew_sf_dir) if skew_sf_dir else None
     finally:
         spark.stop()
-    return pps
+    return pps, skew
 
 
 def run_scaling_interleaved(pages_path: str, n_pages: int,
@@ -191,6 +235,8 @@ def run_scaling_interleaved(pages_path: str, n_pages: int,
     best = {c: 0.0 for c in levels}
     burn_best = {c: 0.0 for c in levels}
     membw_best = {c: 0.0 for c in levels}
+    skew_best: dict = {c: {} for c in levels}
+    skew_levels = {2, 8, 32}
     for w in range(windows):
         burn = run_cpu_burn()
         if burn:
@@ -200,11 +246,18 @@ def run_scaling_interleaved(pages_path: str, n_pages: int,
                 v = burn.get(f"membw_iters_per_sec_{c}", 0.0) or 0.0
                 membw_best[c] = max(membw_best[c], v)
         for cpus in levels:
-            pps = run_at_parallelism(cpus, pages_path, n_pages, runs=2)
+            pps, skew = run_at_parallelism(
+                cpus, pages_path, n_pages, runs=2,
+                skew_sf_dir=SF_DIR if cpus in skew_levels else None)
             best[cpus] = max(best[cpus], pps)
+            if skew:
+                for k, v in skew.items():
+                    prev = skew_best[cpus].get(k)
+                    skew_best[cpus][k] = v if prev is None else min(prev, v)
             print(f"  window {w} local[{cpus}]: {pps:.1f} p/s "
-                  f"(best {best[cpus]:.1f})", file=sys.stderr)
-    return best, burn_best, membw_best
+                  f"(best {best[cpus]:.1f})"
+                  + (f" skew {skew}" if skew else ""), file=sys.stderr)
+    return best, burn_best, membw_best, skew_best
 
 
 def run_cpu_burn() -> dict | None:
@@ -261,7 +314,8 @@ def main():
         # engine/hardware tracking ratio.
         print("  scaling runs (interleaved with burn control): "
               "local[2]/[8]/[32] ...", file=sys.stderr)
-        best, burn_best, membw_best = run_scaling_interleaved(pages_path, n_pages)
+        best, burn_best, membw_best, skew_best = run_scaling_interleaved(
+            pages_path, n_pages)
         pps2, pps8, pps32 = best[2], best[8], best[32]
         scaling = {
             "pages_per_sec_local2": round(pps2, 1),
@@ -284,6 +338,21 @@ def main():
                 membw_best[8] / (4.0 * membw_best[2]), 3)
             scaling["hw_membw_efficiency_8_to_32"] = round(
                 membw_best[32] / (4.0 * membw_best[8]), 3)
+        s2, s8, s32 = (skew_best.get(c, {}) for c in (2, 8, 32))
+        if s2.get("salted") and s8.get("salted") and s32.get("salted"):
+            for lvl, d in (("s2", s2), ("s8", s8), ("s32", s32)):
+                scaling[f"skew_salted_{lvl}"] = d["salted"]
+                scaling[f"skew_unsalted_{lvl}"] = d.get("unsalted")
+            # wall-time efficiency t_N / (4 * t_4N) on the skewed input
+            scaling["skew_salted_eff_2_to_8"] = round(
+                s2["salted"] / (4.0 * s8["salted"]), 3)
+            scaling["skew_salted_eff_8_to_32"] = round(
+                s8["salted"] / (4.0 * s32["salted"]), 3)
+            if s2.get("unsalted") and s8.get("unsalted") and s32.get("unsalted"):
+                scaling["skew_unsalted_eff_2_to_8"] = round(
+                    s2["unsalted"] / (4.0 * s8["unsalted"]), 3)
+                scaling["skew_unsalted_eff_8_to_32"] = round(
+                    s8["unsalted"] / (4.0 * s32["unsalted"]), 3)
         # the flagship headline is the same job/config as the local[CPUS]
         # scaling runs — take the best observed (host drift means the
         # single earlier in-session measurement may sit in a trough)
@@ -410,26 +479,56 @@ def _write_bench_md(result: dict):
                 "2->8 (where bandwidth is not yet saturated) meeting "
                 "the >= 0.8 gate outright.",
             ]
+    if result["scaling"] and result["scaling"].get("skew_salted_eff_2_to_8"):
+        s = result["scaling"]
+        lines += [
+            "",
+            "### Skewed-input scaling (salted join, SURVEY §7.1 step 6)",
+            "",
+            "25.6M-row skewed fact table (HALF the rows on one hot cell, "
+            "~96 B text payload each, parquet-materialized) equi-joined to "
+            "a per-cell dim with broadcast joins DISABLED and AQE off — "
+            "the 100 TB stand-in where the dim cannot broadcast. "
+            "`plans/lineage.salted_join` spreads the hot cell over 32 "
+            "id-hash sub-keys (exact; oracle-gated as `skew_salted_join`).",
+            "",
+            "| config | salted (s) | unsalted (s) |",
+            "|---|---|---|",
+            f"| local[2]  | {s['skew_salted_s2']} | {s.get('skew_unsalted_s2')} |",
+            f"| local[8]  | {s['skew_salted_s8']} | {s.get('skew_unsalted_s8')} |",
+            f"| local[32] | {s['skew_salted_s32']} | {s.get('skew_unsalted_s32')} |",
+            "",
+            f"- salted 2 -> 8 efficiency on the skewed input: "
+            f"**{s['skew_salted_eff_2_to_8']}** "
+            f"(unsalted control: {s.get('skew_unsalted_eff_2_to_8')} — the "
+            "hot reducer serializes; salting restores scaling)",
+            f"- salted 8 -> 32 efficiency: {s['skew_salted_eff_8_to_32']} "
+            f"(unsalted: {s.get('skew_unsalted_eff_8_to_32')}; both sides "
+            "hit the host's one-socket DRAM ceiling in this range — see "
+            "the STREAM control above)",
+        ]
     if result["scaling"]:
         lines += [
             "",
             "### Round-over-round delta (same harness, same input)",
             "",
-            "| metric | round 1 (driver) | round 2 |",
-            "|---|---|---|",
-            "| flagship pages/sec at local[32] | 230,806 | "
+            "| metric | round 1 | round 2 | round 3 |",
+            "|---|---|---|---|",
+            "| flagship pages/sec at local[32] | 230,806 | 529,776 | "
             f"{result['pages_per_sec']} |",
-            "| 2 -> 8 efficiency | 0.772 | "
+            "| 2 -> 8 efficiency | 0.772 | 0.964 | "
             f"{result['scaling']['efficiency_4x_2_to_8']} |",
-            "| 8 -> 32 efficiency | 0.528 | "
+            "| 8 -> 32 efficiency | 0.528 | 0.596 | "
             f"{result['scaling']['efficiency_4x_8_to_32']} |",
             "",
-            "What changed in round 2: PIP refine coefficients moved to the "
-            "broadcast side (predicate never pushable below the join, "
-            "O(max_edges) codegen — removed the flagship's localCheckpoint "
-            "lineage cut), scan splits sized to 4 tasks/core at every "
-            "parallelism level, MinHash permutations vectorized "
-            "(exact Mersenne-mod uint64), per-query times best-of-2.",
+            "What changed in round 3: the extraction-invariant gate became "
+            "a broadcast-relation join (predicate references both sides, so "
+            "the html decode + extraction regexes are no longer pushed into "
+            "the parquet scan's DataFilters — they ran 3x/row in round 2, "
+            "now once; measured -21% flagship wall in interleaved A/B), "
+            "page identity travels as xxhash64(url) through wide stages "
+            "instead of the url string, and the skewed-input salted-join "
+            "scaling table above was added.",
         ]
     lines += ["", "## Per-query seconds", "", "| query | sec |", "|---|---|"]
     for k, v in result["queries"].items():

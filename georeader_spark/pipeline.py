@@ -114,6 +114,7 @@ def pages_pipeline(
     pages_df: DataFrame | None = None,
     repartition: bool = True,
     lineage_cut: bool = False,
+    gate_join: bool = True,
 ) -> DataFrame:
     """End-to-end: returns per-(cell, poly_id) page counts.
 
@@ -123,8 +124,27 @@ def pages_pipeline(
     pages = pages_df if pages_df is not None else synth_pages(spark, n_rows)
     extracted = extract_stage(pages)
     # invariant gate: rows failing byte-identity would fall out here —
-    # tests assert the count equals the input count
-    ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
+    # tests assert the count equals the input count.
+    #
+    # The gate is an inner join against a broadcast 1-row relation with
+    # the predicate `(text_ok AND lon IS NOT NULL) = _pass` rather than
+    # a plain .where(): a deterministic points-side-only filter gets
+    # pushed below the extraction Project into the parquet scan's
+    # DataFilters, re-evaluating the html decode + extraction regexes
+    # per reference (measured: decode ran 3x/row, the geotag regex
+    # 2x/row). A predicate referencing both join sides cannot sink, so
+    # the extraction Project evaluates ONCE and codegen CSE shares the
+    # decode across ext_text/lon/lat. Same structural trick as the PIP
+    # refine's coefficients-as-broadcast-columns.
+    if gate_join:
+        gate = F.broadcast(spark.createDataFrame([(True,)], "_pass boolean"))
+        ok = extracted.join(
+            gate,
+            (F.col("text_ok") & F.col("lon").isNotNull()) == F.col("_pass"),
+            "inner",
+        ).drop("_pass")
+    else:  # plain filter (pushes extraction into the scan; A/B control)
+        ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
     encoded = ok.withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
     # Extract-stage boundary. Round 1 needed a localCheckpoint lineage
     # cut here: the PIP refine was then a points-side-only literal
@@ -141,7 +161,15 @@ def pages_pipeline(
     # local twin of a production Iceberg stage checkpoint
     # (plans/lineage.StageStore) when a durable extract boundary is
     # wanted for resume.
-    slim = encoded.select("url", "lon", "lat", "cell")
+    # Byte diet for the wide stages: page identity travels as an 8-byte
+    # xxhash64 id, not the url string (~60-90 B/row) — the repartition
+    # exchange and every operator after it move 32 B/row of fixed-width
+    # columns. At 10^12 rows that is the difference between shuffling
+    # ~30 TB and ~100 TB. (The url -> id map is recoverable by re-hashing
+    # the source table; collisions at 64 bits are ~1e-7 even at 10^12.)
+    slim = encoded.select(
+        F.xxhash64("url").alias("page_id"), "lon", "lat", "cell"
+    )
     if repartition:
         slim = slim.repartition(2 * spark.sparkContext.defaultParallelism)
     if lineage_cut:

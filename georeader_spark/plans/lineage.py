@@ -141,3 +141,42 @@ def salt_for_skew(
         )
         .drop("_hot_key")
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    hot_threshold: int,
+    n_salts: int = 16,
+    id_col: Optional[str] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join (north rule: "explicit salted
+    repartitioning on hot H3 cells"): facts whose key is hot get
+    ``salt = hash(id) % n_salts``; the matching dim rows are REPLICATED
+    across all n_salts sub-keys (cold dim rows get salt 0), and the
+    join runs on (key, salt) — the hot key's rows spread over n_salts
+    reducers instead of funneling into one sort task. Exact for any
+    1:N equi-join: every fact row still meets exactly the dim rows of
+    its key. At scale the hot-key set comes from the lineage histogram
+    (StageStore.run_stage metrics) instead of the count pass here."""
+    hot = (
+        facts.groupBy(key_col)
+        .count()
+        .where(F.col("count") > hot_threshold)
+        .select(F.col(key_col).alias("_hot_key"))
+    )
+    facts_s = salt_for_skew(facts, key_col, hot_threshold, n_salts, id_col)
+    spark = facts.sparkSession
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+    dim_hot = (
+        dim.join(F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "inner")
+        .drop("_hot_key")
+        .crossJoin(F.broadcast(salts))
+    )
+    dim_cold = dim.join(
+        F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "left_anti"
+    ).withColumn("salt", F.lit(0))
+    dim_s = dim_hot.unionByName(dim_cold)
+    return facts_s.join(dim_s, [key_col, "salt"], how)

@@ -100,6 +100,25 @@ class TestPlanShapes:
         # HashAggregate on o_custkey must exist
         assert "o_custkey" in plan and "HashAggregate" in plan
 
+    def test_salted_join_exact_and_spreads_hot_key(self, spark, sf_dir):
+        """salted_join must (a) equal the naive join bit-for-bit and
+        (b) actually join on (key, salt) with >1 distinct salt on the
+        hot key — the skew-spread evidence at plan+data level."""
+        from georeader_spark.queries import skew_join_agg
+        from georeader_spark.plans.lineage import salted_join
+        from georeader_spark.queries import _skew_fixture
+
+        a = sorted(map(tuple, skew_join_agg(spark, sf_dir, salted=True).collect()))
+        b = sorted(map(tuple, skew_join_agg(spark, sf_dir, salted=False).collect()))
+        assert a == b
+        facts, dim = _skew_fixture(spark, sf_dir, amplify=8)
+        joined = salted_join(facts, dim, "cell", hot_threshold=2000,
+                             n_salts=32, id_col="fact_id")
+        n_salts_hot = (
+            joined.where(F.col("cell") == 0).select("salt").distinct().count()
+        )
+        assert n_salts_hot > 1, "hot key did not spread over salts"
+
     def test_parquet_filter_pushdown(self, spark, sf_dir):
         """Predicates on the scan must reach parquet (PushedFilters)."""
         df = spark.read.parquet(f"{sf_dir}/events.parquet").where(

@@ -3368,3 +3368,41 @@ _rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
 REGISTRY.clear()
 REGISTRY.update(_oracle_gated)
 REGISTRY.update(_rows_only)
+
+
+# --- real GeoTIFF bytes in/out (load_bytes / save_cog made real) -----------
+
+def q_geotiff_roundtrip(spark, sf_dir):
+    """Raster -> REAL tiled-deflate GeoTIFF payload (COG layout with 1
+    overview IFD) -> decode -> long rows. The reference's load_bytes
+    (geotensor.py:2165-2214) and save_cog (save.py:327-449) as actual
+    byte I/O (kernels/geotiff, pure Python+zlib — no GDAL here).
+    Fully oracle-gated: the decoded rows must hash-match the synthetic
+    source raster the DuckDB twin generates directly — any bit lost in
+    the TIFF structure, tiling, compression, or georeferencing tags
+    breaks the match."""
+    from .operators.geotiff_io import geotiff_to_long, long_to_geotiff
+
+    src = R.synth_raster(spark, 1, RASTER_H, RASTER_W, bands=3)
+    tifs = long_to_geotiff(
+        src, RASTER_H, RASTER_W, SRC_T, crs_epsg=32630, tile=64,
+        compress=True, overview_levels=1,
+    )
+    back = geotiff_to_long(tifs)
+    return back.select("band", "row", "col", "value")
+
+
+Q_GEOTIFF_ROUNDTRIP_SQL = f"""
+WITH src AS ({R.synth_raster_sql(1, RASTER_H, RASTER_W, bands=3)})
+SELECT band, row, col, value FROM src
+"""
+
+REGISTRY.update(
+    {"raster_geotiff_roundtrip": (q_geotiff_roundtrip, Q_GEOTIFF_ROUNDTRIP_SQL)}
+)
+# keep the oracle-first / rows-only-last ordering after the late insert
+_oracle_gated = {n: v for n, v in REGISTRY.items() if v[1] is not None}
+_rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
+REGISTRY.clear()
+REGISTRY.update(_oracle_gated)
+REGISTRY.update(_rows_only)

@@ -1,0 +1,101 @@
+"""Real GeoTIFF byte I/O (kernels/geotiff + operators/geotiff_io) —
+the load_bytes / save_cog parity gate. The primary fixture mirrors the
+reference's session fixture (tests/conftest.py:17-66): 15 bands,
+200x250 px, int16, EPSG:32738, 10 m pixels, seed 42."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georeader_spark.kernels.affine import Affine
+from georeader_spark.kernels.geotiff import decode_geotiff, encode_geotiff
+
+
+def _ref_fixture():
+    rng = np.random.default_rng(42)
+    arr = rng.integers(-1000, 3000, size=(15, 200, 250)).astype(np.int16)
+    t = Affine.from_origin(523500.0, 8095000.0, 10.0, 10.0)
+    return arr, t
+
+
+class TestGeoTiffKernel:
+    def test_reference_fixture_roundtrip_bit_exact(self):
+        arr, t = _ref_fixture()
+        buf = encode_geotiff(arr, t, crs_epsg=32738, tile=128,
+                             compress=True, nodata=-999.0)
+        out, t2, epsg, nodata = decode_geotiff(buf)
+        assert np.array_equal(out, arr)
+        assert out.dtype == np.int16
+        assert t2 == t
+        assert epsg == 32738
+        assert nodata == -999.0
+
+    def test_cog_overviews_are_blockmeans(self):
+        arr, t = _ref_fixture()
+        buf = encode_geotiff(arr, t, crs_epsg=32738, tile=64,
+                             overview_levels=2)
+        ov, t_ov, _, _ = decode_geotiff(buf, overview=1)
+        exp = (
+            arr[:, :200, :250]
+            .reshape(15, 100, 2, 125, 2)
+            .astype(np.float64)
+            .mean(axis=(2, 4))
+            .astype(np.int16)
+        )
+        assert np.array_equal(ov, exp)
+        # overview transform: 2x pixel size, same origin
+        assert t_ov.a == 2 * t.a and t_ov.e == 2 * t.e and t_ov.c == t.c
+
+    def test_uncompressed_and_float_dtypes(self):
+        rng = np.random.default_rng(7)
+        for dt in ("uint8", "uint16", "int32", "float32", "float64"):
+            a = (rng.random((2, 33, 47)) * 100).astype(dt)
+            buf = encode_geotiff(a, Affine.identity(), tile=32, compress=False)
+            out, _, _, _ = decode_geotiff(buf)
+            assert np.array_equal(out, a), dt
+            assert out.dtype == np.dtype(dt)
+
+    def test_rotated_transform_roundtrip(self):
+        a = np.arange(30 * 20, dtype=np.float64).reshape(1, 30, 20)
+        t = Affine(2.0, 0.5, 100.0, 0.3, -2.0, 500.0)
+        buf = encode_geotiff(a, t, crs_epsg=4326, tile=16)
+        _, t2, epsg, _ = decode_geotiff(buf)
+        assert t2 == t and epsg == 4326
+
+    def test_magic_rejects_non_tiff(self):
+        with pytest.raises(ValueError):
+            decode_geotiff(b"MM\x00*garbage")
+
+
+class TestGeoTiffSpark:
+    def test_spark_roundtrip_bit_exact(self, spark):
+        from georeader_spark.operators import raster as R
+        from georeader_spark.operators.geotiff_io import (
+            geotiff_to_long,
+            long_to_geotiff,
+        )
+
+        src = R.synth_raster(spark, 1, 100, 120, bands=3)
+        t = Affine.from_origin(0.0, 100.0, 1.0, 1.0)
+        tifs = long_to_geotiff(src, 100, 120, t, crs_epsg=32630, tile=64,
+                               overview_levels=1)
+        rows = tifs.collect()
+        assert len(rows) == 1 and rows[0]["n_bands"] == 3
+        assert bytes(rows[0]["tif"])[:4] == b"II*\x00"
+        back = geotiff_to_long(tifs).drop("raster_id")
+        a = sorted(map(tuple, src.select("band", "row", "col", "value").collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b
+
+    def test_spark_overview_read(self, spark):
+        from georeader_spark.operators import raster as R
+        from georeader_spark.operators.geotiff_io import (
+            geotiff_to_long,
+            long_to_geotiff,
+        )
+
+        src = R.synth_raster(spark, 1, 64, 64, bands=1)
+        t = Affine.from_origin(0.0, 64.0, 1.0, 1.0)
+        tifs = long_to_geotiff(src, 64, 64, t, tile=32, overview_levels=1)
+        lod = geotiff_to_long(tifs, overview=1)
+        assert lod.count() == 32 * 32

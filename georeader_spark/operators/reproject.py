@@ -151,9 +151,13 @@ def resample_tiles(
     bool_mask: bool = False,
 ) -> DataFrame:
     """Reproject/resample tile-blocked raster onto a destination grid
-    (same CRS, rectilinear): the halo-gather join + per-output-tile warp
-    UDF. ``halo`` mirrors the reference's 3-px pad (read.py:1605-1607).
-    Output: tile-blocked rows on the destination grid.
+    (same CRS; rectilinear OR rotated/sheared transforms on either
+    side — planning takes all 4 tile corners and the warp runs the full
+    affines, matching the reference's non-rectilinear read path,
+    rasterio_reader.py:1370-1382 / tests/test_read_windows.py:327-478):
+    the halo-gather join + per-output-tile warp UDF. ``halo`` mirrors
+    the reference's 3-px pad (read.py:1605-1607). Output: tile-blocked
+    rows on the destination grid.
 
     ``bool_mask=True`` applies the reference's boolean-dtype rule
     (read.py:1557-1567, 1639-1669): masks are interpolated as floats
@@ -175,9 +179,17 @@ def resample_tiles(
         for tcol in range(n_tcol):
             h = min(tile, H_dst - trow * tile)
             w = min(tile, W_dst - tcol * tile)
-            x0, y0 = dst_transform * (tcol * tile, trow * tile)
-            x1, y1 = dst_transform * (tcol * tile + w, trow * tile + h)
-            bounds = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+            # all 4 dst-tile corners: correct bbox for rotated/sheared
+            # dst grids too (2 corners suffice only when rectilinear)
+            corners = [
+                dst_transform * (tcol * tile, trow * tile),
+                dst_transform * (tcol * tile + w, trow * tile),
+                dst_transform * (tcol * tile, trow * tile + h),
+                dst_transform * (tcol * tile + w, trow * tile + h),
+            ]
+            xs = [c[0] for c in corners]
+            ys = [c[1] for c in corners]
+            bounds = (min(xs), min(ys), max(xs), max(ys))
             src_w = round_outer_window(window_from_bounds(src_transform, bounds))
             src_w = Window(
                 src_w.col_off - halo,
@@ -239,14 +251,17 @@ def resample_tiles(
                     sl["x"].start - tw.col_off : sl["x"].stop - tw.col_off]
             block[y0 : y0 + sub.shape[0], x0 : x0 + sub.shape[1]] = sub
 
-        # dst pixel centers -> fractional src pixel coords
+        # dst pixel centers -> world -> fractional src pixel coords via
+        # the FULL affines (b/d terms included: rotated/sheared grids
+        # resample correctly, not just north-up rectilinear ones)
         rows = np.arange(dst_trow * tile, dst_trow * tile + dst_h)
         cols = np.arange(dst_tcol * tile, dst_tcol * tile + dst_w)
         cc, rr = np.meshgrid(cols, rows)
-        gx = dst_transform.c + (cc + 0.5) * dst_transform.a
-        gy = dst_transform.f + (rr + 0.5) * dst_transform.e
-        fc = (gx - src_transform.c) / src_transform.a - sw.col_off
-        fr = (gy - src_transform.f) / src_transform.e - sw.row_off
+        dt, st_inv = dst_transform, ~src_transform
+        gx = dt.c + (cc + 0.5) * dt.a + (rr + 0.5) * dt.b
+        gy = dt.f + (cc + 0.5) * dt.d + (rr + 0.5) * dt.e
+        fc = st_inv.a * gx + st_inv.b * gy + st_inv.c - sw.col_off
+        fr = st_inv.d * gx + st_inv.e * gy + st_inv.f - sw.row_off
 
         if method == "nearest":
             ic = np.clip(np.floor(fc).astype(np.int64), 0, sw.width - 1)

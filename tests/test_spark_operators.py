@@ -328,6 +328,78 @@ class TestTileBlocked:
         )
         np.testing.assert_allclose(got, expect, rtol=1e-12)
 
+    def test_resample_rotated_src_matches_numpy(self, spark):
+        """Rotated/sheared SOURCE grid (the reference's non-rectilinear
+        read path, rasterio_reader.py:1370-1382): bilinear resample onto
+        a north-up dst grid must match the full-affine numpy oracle."""
+        import math as m
+
+        H, W = 80, 80
+        th = m.radians(15.0)
+        # rotation * pixel scale, origin at (0, 100)
+        src_t = Affine(m.cos(th) * 1.0, -m.sin(th) * 1.0, 0.0,
+                       -m.sin(th) * -1.0, m.cos(th) * -1.0, 100.0)
+        dst_t = Affine.from_origin(5.0, 80.0, 1.5, 1.5)
+        dH, dW = 30, 30
+        src = R.synth_raster(spark, 1, H, W)
+        tiles = tile_blocked_from_long(src, H, W, tile=32)
+        out = resample_tiles(
+            tiles, src_t, (H, W), dst_t, (dH, dW), method="bilinear", tile=32
+        )
+        got = _long_to_np(tile_blocked_to_long(out, tile=32).collect(), dH, dW)
+
+        idx = np.arange(H * W, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        cc, rr = np.meshgrid(np.arange(dW), np.arange(dH))
+        gx = dst_t.c + (cc + 0.5) * dst_t.a + (rr + 0.5) * dst_t.b
+        gy = dst_t.f + (cc + 0.5) * dst_t.d + (rr + 0.5) * dst_t.e
+        inv = ~src_t
+        fc = inv.a * gx + inv.b * gy + inv.c - 0.5
+        fr = inv.d * gx + inv.e * gy + inv.f - 0.5
+        c0 = np.floor(fc).astype(int)
+        r0 = np.floor(fr).astype(int)
+        wc = fc - c0
+        wr = fr - r0
+        pad = np.zeros((H + 2, W + 2))
+        pad[1 : H + 1, 1 : W + 1] = src_np
+        in_b = (c0 >= 0) & (c0 < W - 1) & (r0 >= 0) & (r0 < H - 1)
+        r0c = np.clip(r0, -1, H)
+        c0c = np.clip(c0, -1, W)
+        expect = (
+            pad[r0c + 1, np.clip(c0c + 1, 0, W + 1)] * (1 - wr) * (1 - wc)
+            + pad[r0c + 1, np.clip(c0c + 2, 0, W + 1)] * (1 - wr) * wc
+            + pad[np.clip(r0c + 2, 0, H + 1), np.clip(c0c + 1, 0, W + 1)] * wr * (1 - wc)
+            + pad[np.clip(r0c + 2, 0, H + 1), np.clip(c0c + 2, 0, W + 1)] * wr * wc
+        )
+        # compare strictly interior pixels (border clamping differs by
+        # construction between the padded oracle and the halo path)
+        np.testing.assert_allclose(got[in_b], expect[in_b], rtol=1e-12)
+
+    def test_resample_rotated_dst_matches_numpy(self, spark):
+        """Rotated DESTINATION grid: nearest-neighbor onto a sheared
+        target must place every pixel where the full dst affine says."""
+        H, W = 64, 64
+        src_t = Affine.from_origin(0.0, 64.0, 1.0, 1.0)
+        dst_t = Affine(2.0, 0.4, 4.0, 0.3, -2.0, 60.0)
+        dH, dW = 20, 20
+        src = R.synth_raster(spark, 1, H, W)
+        tiles = tile_blocked_from_long(src, H, W, tile=32)
+        out = resample_tiles(
+            tiles, src_t, (H, W), dst_t, (dH, dW), method="nearest", tile=32
+        )
+        got = _long_to_np(tile_blocked_to_long(out, tile=32).collect(), dH, dW)
+        idx = np.arange(H * W, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        cc, rr = np.meshgrid(np.arange(dW), np.arange(dH))
+        gx = dst_t.c + (cc + 0.5) * dst_t.a + (rr + 0.5) * dst_t.b
+        gy = dst_t.f + (cc + 0.5) * dst_t.d + (rr + 0.5) * dst_t.e
+        sc = np.floor((gx - 0.0) / 1.0).astype(int)
+        sr = np.floor((gy - 64.0) / -1.0).astype(int)
+        valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
+        expect = np.zeros((dH, dW))
+        expect[valid] = src_np[sr[valid], sc[valid]]
+        np.testing.assert_array_equal(got[valid], expect[valid])
+
     def test_resample_nearest_matches_numpy(self, spark):
         H, W = 64, 64
         src_t = Affine.from_origin(0, 64, 1, 1)

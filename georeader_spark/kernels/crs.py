@@ -235,3 +235,64 @@ def solar_datetime_offset_seconds(lon: ArrayLike) -> ArrayLike:
     (/root/reference/georeader/readers/query_utils.py:58-81). Truncated
     to whole seconds so Spark and DuckDB agree exactly."""
     return np.trunc(np.asarray(lon, dtype=np.float64) * 240.0).astype(np.int64)
+
+
+# MGRS 100 km square scheme (MIL-STD-2411 / public MGRS spec). The
+# reference's get_utm_from_mgrs (/root/reference/georeader/__init__.py:
+# 130-172) uses only zone + hemisphere from the tile id; the full
+# square -> (EPSG, easting/northing origin) resolution below is what a
+# Sentinel-2-style tiling actually needs (tile "31TCJ" -> the 100 km
+# square's UTM bounding origin).
+
+_MGRS_COLS = "ABCDEFGHJKLMNPQRSTUVWXYZ"  # 24 letters, I/O omitted
+_MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"      # 20-letter row cycle
+_MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"     # 8-deg latitude bands
+
+
+def mgrs_tile_origin(tile: str) -> Tuple[int, float, float]:
+    """Full MGRS tile (e.g. '30TVK', '31TCJ', '56HLH') -> (utm_epsg,
+    easting_min, northing_min) of its 100 km grid square.
+
+    Column letters cycle in 3 zone-dependent sets of 8 (easting 100-800
+    km); row letters cycle over 20 (odd zones start at 'A', even at
+    'F') with the 2000 km ambiguity resolved by picking the candidate
+    whose square center lies closest to the latitude band's center —
+    bands span ~885 km, far less than the 2000 km period, so the
+    choice is unique."""
+    tile = tile.strip().upper()
+    if len(tile) < 5:
+        raise ValueError(f"need a 5-char MGRS tile, got {tile!r}")
+    zone = int(tile[:2])
+    band, col_l, row_l = tile[2], tile[3], tile[4]
+    if band not in _MGRS_BANDS:
+        raise ValueError(f"bad latitude band {band!r}")
+    south = band < "N"
+    epsg = (32700 if south else 32600) + zone
+
+    col_set = ((zone - 1) % 3) * 8
+    try:
+        col_idx = _MGRS_COLS.index(col_l) - col_set
+    except ValueError:
+        raise ValueError(f"bad column letter {col_l!r}")
+    if not 0 <= col_idx < 8:
+        raise ValueError(f"column {col_l!r} not valid for zone {zone}")
+    easting = (col_idx + 1) * 100_000.0
+
+    row_start = 0 if zone % 2 == 1 else 5  # even zones start at 'F'
+    try:
+        row_idx = (_MGRS_ROWS.index(row_l) - row_start) % 20
+    except ValueError:
+        raise ValueError(f"bad row letter {row_l!r}")
+    row_base = row_idx * 100_000.0
+
+    lat_min = -80.0 + 8.0 * _MGRS_BANDS.index(band)
+    # northing of the band's southern edge on this zone's central meridian
+    cm = utm_central_meridian(zone)
+    _, n_band = wgs84_to_utm(cm, lat_min, zone, south=south)
+    n_band = float(n_band)
+    band_center = n_band + (885_000.0 if band != "X" else 1_330_000.0) / 2.0
+    best = min(
+        (row_base + k * 2_000_000.0 for k in range(0, 6)),
+        key=lambda n: abs((n + 50_000.0) - band_center),
+    )
+    return epsg, easting, best

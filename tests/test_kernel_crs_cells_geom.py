@@ -357,6 +357,31 @@ class TestProjGeneral:
             k = math.hypot(float(x2 - x1), float(y2 - y1)) / (M * math.radians(d))
             assert abs(k - expect) < 1e-6
 
+    def test_mgrs_full_tile_origin(self):
+        """Full MGRS 100 km square -> (EPSG, easting, northing) origin:
+        public-grid anchors (Madrid 30TVK, Toulouse/S2 31TCJ, Sydney
+        56HLH southern hemisphere) + self-consistency of the row cycle."""
+        from georeader_spark.kernels.crs import mgrs_tile_origin
+
+        assert mgrs_tile_origin("30TVK") == (32630, 400000.0, 4400000.0)
+        assert mgrs_tile_origin("31TCJ") == (32631, 300000.0, 4800000.0)
+        assert mgrs_tile_origin("56HLH") == (32756, 300000.0, 6200000.0)
+        # containment: the anchor cities' UTM coords fall inside their square
+        for tile, lon, lat in (
+            ("30TVK", -3.70391, 40.41681),   # Madrid
+            ("31TCJ", 1.44421, 43.60461),    # Toulouse
+            ("56HLH", 151.20931, -33.86881),  # Sydney
+        ):
+            epsg, e0, n0 = mgrs_tile_origin(tile)
+            zone = epsg % 100
+            x, y = crs.wgs84_to_utm(lon, lat, zone, south=epsg // 100 == 327)
+            assert e0 <= float(x) < e0 + 100000, tile
+            assert n0 <= float(y) < n0 + 100000, tile
+        with pytest.raises(ValueError):
+            mgrs_tile_origin("30T")  # reference-style 3-char: zone-only API
+        with pytest.raises(ValueError):
+            mgrs_tile_origin("30TIO")
+
     def test_tm_osgb_worked_example(self):
         """OS 'A guide to coordinate systems in Great Britain' worked
         example: Caister water tower, OSGB36 geodetic -> BNG E/N."""

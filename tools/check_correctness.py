@@ -9,6 +9,7 @@ Usage: python tools/check_correctness.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -65,6 +66,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,9 +78,15 @@ def main():
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": str(ex)[:200]}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(s_rows),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -93,6 +101,9 @@ def main():
         sh = value_hash(s_rows, s_cols)
         dh = value_hash(d_rows, d_cols)
         ok_hash = sh == dh
+        results[name] = {"rows_match": ok_count, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(s_rows),
+                         "oracle_rows": len(d_rows), "err": None}
         status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
         print(
             f"{status}  {name}: rows {len(s_rows)}/{len(d_rows)} "
@@ -109,6 +120,13 @@ def main():
                 print("   duck-only :", list(d_set - s_set)[:3])
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} ({len(results)} entries)")
     spark.stop()
     sys.exit(1 if failures else 0)
 

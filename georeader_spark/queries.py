@@ -2166,14 +2166,31 @@ def q_transform_crs(spark, sf_dir):
     pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
     to3035 = transform_points_udf("EPSG:4326", "EPSG:3035")
     back = transform_points_udf("EPSG:3035", "EPSG:4326")
-    proj = pts.select("event_id", to3035(F.col("lon"), F.col("lat")).alias("laea"))
-    rt = proj.withColumn("rt", back(F.col("laea.x"), F.col("laea.y")))
+    # datum-shifted national grid (OSGB36 via 7-param Helmert) through
+    # the same router — the UDF path the expression twins can't cover
+    to27700 = transform_points_udf("EPSG:4326", "EPSG:27700")
+    back27700 = transform_points_udf("EPSG:27700", "EPSG:4326")
+    proj = pts.select(
+        "event_id",
+        to3035(F.col("lon"), F.col("lat")).alias("laea"),
+        to27700(F.col("lon"), F.col("lat")).alias("bng"),
+    )
+    rt = proj.withColumns(
+        {
+            "rt": back(F.col("laea.x"), F.col("laea.y")),
+            "rt_bng": back27700(F.col("bng.x"), F.col("bng.y")),
+        }
+    )
     return rt.select(
         "event_id",
         F.round(F.col("laea.x"), 3).alias("laea_x"),
         F.round(F.col("laea.y"), 3).alias("laea_y"),
+        F.round(F.col("bng.x"), 3).alias("bng_x"),
+        F.round(F.col("bng.y"), 3).alias("bng_y"),
         F.round(F.col("rt.x"), 9).alias("lon_rt"),
         F.round(F.col("rt.y"), 9).alias("lat_rt"),
+        F.round(F.col("rt_bng.x"), 6).alias("lon_rt_bng"),
+        F.round(F.col("rt_bng.y"), 6).alias("lat_rt_bng"),
     )
 
 

@@ -527,6 +527,78 @@ _INV = {"lcc2sp": lcc2sp_inverse, "albers": albers_inverse,
         "laea": laea_inverse, "ps": ps_inverse, "tm": tm_inverse}
 
 
+_PROJ4_ELLPS = {
+    "WGS84": "WGS84", "GRS80": "GRS80",
+    "AIRY": "AIRY1830", "INTL": "INTL1924",
+}
+
+_PROJ4_FAMILY = {"lcc": "lcc2sp", "aea": "albers", "laea": "laea",
+                 "stere": "ps", "tmerc": "tm"}
+
+
+def parse_proj4(s: str) -> Tuple[str, dict]:
+    """PROJ.4 string -> (family, params) for the families this kernel
+    implements — the arbitrary-CRS entry point the reference gets from
+    pyproj (``polygon_to_crs`` accepts any CRS spec,
+    window_utils.py:1043-1122). Supported: +proj=lcc (2SP), aea, laea,
+    stere (polar variant B), tmerc, utm, longlat, merc(webmerc);
+    +ellps WGS84/GRS80/airy/intl, +datum=WGS84/NAD83, +towgs84 3- or
+    7-parameter."""
+    kv: Dict[str, str] = {}
+    for tok in s.strip().split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            kv[tok] = ""
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError(f"no +proj= in {s!r}")
+    if proj not in ("longlat", "merc", "utm") and proj not in _PROJ4_FAMILY:
+        raise ValueError(f"unsupported +proj={proj} (supported: "
+                         f"{sorted(_PROJ4_FAMILY)} + utm/longlat/merc)")
+    if proj == "longlat":
+        return "geographic", {}
+    if proj == "merc":
+        return "webmerc", {}
+    if proj == "utm":
+        return "utm", {"zone": int(kv["zone"]), "south": "south" in kv}
+
+    ellps = kv.get("ellps")
+    if ellps is None:
+        datum = kv.get("datum", "WGS84").upper()
+        ellps = {"WGS84": "WGS84", "NAD83": "GRS80", "ETRS89": "GRS80"}.get(
+            datum, "WGS84")
+    ellps = _PROJ4_ELLPS.get(ellps.upper())
+    if ellps is None:
+        raise ValueError(f"unsupported ellipsoid in {s!r}")
+    p = {"ellps": ellps,
+         "lat_0": float(kv.get("lat_0", 0.0)),
+         "lon_0": float(kv.get("lon_0", 0.0)),
+         "x_0": float(kv.get("x_0", 0.0)),
+         "y_0": float(kv.get("y_0", 0.0))}
+    if "towgs84" in kv:
+        t = [float(v) for v in kv["towgs84"].split(",")]
+        if len(t) == 3:
+            t += [0.0, 0.0, 0.0, 0.0]
+        if len(t) != 7:
+            raise ValueError(f"towgs84 needs 3 or 7 params: {s!r}")
+        p["towgs84"] = tuple(t)
+    if proj in ("lcc", "aea"):
+        p["lat_1"] = float(kv["lat_1"])
+        p["lat_2"] = float(kv.get("lat_2", kv["lat_1"]))
+    elif proj == "stere":
+        lat0 = float(kv.get("lat_0", 90.0))
+        if abs(lat0) != 90.0:
+            raise ValueError("only polar +proj=stere supported (lat_0=+-90)")
+        p["lat_ts"] = float(kv.get("lat_ts", lat0))
+        p.pop("lat_0")
+    elif proj == "tmerc":
+        p["k_0"] = float(kv.get("k", kv.get("k_0", 1.0)))
+    return _PROJ4_FAMILY[proj], p
+
+
 def _epsg_code(crs: str) -> int:
     c = str(crs).strip().upper()
     if c.startswith("EPSG:"):
@@ -536,7 +608,35 @@ def _epsg_code(crs: str) -> int:
     raise ValueError(f"unsupported CRS spec {crs!r} (EPSG:<code> expected)")
 
 
+def _family_to_wgs84(fam: str, p: dict, x, y):
+    if fam == "geographic":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if fam == "webmerc":
+        return kcrs.web_mercator_to_wgs84(x, y)
+    if fam == "utm":
+        return kcrs.utm_to_wgs84(x, y, p["zone"], south=p["south"])
+    lon, lat = _INV[fam](x, y, p)
+    if "towgs84" in p:
+        lon, lat = datum_to_wgs84(lon, lat, p["ellps"], p["towgs84"])
+    return lon, lat
+
+
+def _family_from_wgs84(fam: str, p: dict, lon, lat):
+    if fam == "geographic":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if fam == "webmerc":
+        return kcrs.wgs84_to_web_mercator(lon, lat)
+    if fam == "utm":
+        return kcrs.wgs84_to_utm(lon, lat, p["zone"], south=p["south"])
+    if "towgs84" in p:
+        lon, lat = datum_from_wgs84(lon, lat, p["ellps"], p["towgs84"])
+    return _FWD[fam](lon, lat, p)
+
+
 def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
+    if str(crs).strip().startswith("+"):
+        fam, p = parse_proj4(str(crs))
+        return _family_to_wgs84(fam, p, x, y)
     code = _epsg_code(crs)
     if code == 4326:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
@@ -556,6 +656,9 @@ def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
 
 
 def from_wgs84(lon: ArrayLike, lat: ArrayLike, crs: str):
+    if str(crs).strip().startswith("+"):
+        fam, p = parse_proj4(str(crs))
+        return _family_from_wgs84(fam, p, lon, lat)
     code = _epsg_code(crs)
     if code == 4326:
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)

@@ -357,6 +357,37 @@ class TestProjGeneral:
             k = math.hypot(float(x2 - x1), float(y2 - y1)) / (M * math.radians(d))
             assert abs(k - expect) < 1e-6
 
+    def test_proj4_strings_match_epsg_registry(self):
+        """Arbitrary-CRS entry point: PROJ.4 strings route to the same
+        family kernels as the EPSG registry, bit-identically."""
+        from georeader_spark.kernels import proj as P
+
+        lon = np.array([-4.0, 2.5, 8.0])
+        lat = np.array([43.0, 47.0, 50.5])
+        cases = [
+            ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+             "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m", "EPSG:2154"),
+            ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+             "+y_0=-100000 +ellps=airy "
+             "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894",
+             "EPSG:27700"),
+            ("+proj=utm +zone=30 +datum=WGS84", "EPSG:32630"),
+            ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84",
+             "EPSG:3413"),
+            ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+             "+ellps=GRS80", "EPSG:3035"),
+        ]
+        for p4, epsg in cases:
+            x1, y1 = P.from_wgs84(lon, lat, p4)
+            x2, y2 = P.from_wgs84(lon, lat, epsg)
+            np.testing.assert_array_equal(x1, x2, err_msg=p4)
+            np.testing.assert_array_equal(y1, y2, err_msg=p4)
+            lo, la = P.to_wgs84(x1, y1, p4)
+            assert float(np.abs(lo - lon).max()) < 1e-6
+            assert float(np.abs(la - lat).max()) < 1e-6
+        with pytest.raises(ValueError):
+            P.parse_proj4("+proj=omerc +lat_0=4")  # unsupported family
+
     def test_mgrs_full_tile_origin(self):
         """Full MGRS 100 km square -> (EPSG, easting, northing) origin:
         public-grid anchors (Madrid 30TVK, Toulouse/S2 31TCJ, Sydney

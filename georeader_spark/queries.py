@@ -3423,3 +3423,43 @@ _rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
 REGISTRY.clear()
 REGISTRY.update(_oracle_gated)
 REGISTRY.update(_rows_only)
+
+
+# --- window-algebra pair merged to free a driver-checked slot for the
+# GeoTIFF round-trip (the prefix cap is 50; both constituents keep
+# executing inside the combined query) ----------------------------------
+
+def q_windows_algebra(spark, sf_dir):
+    """create_windows tile generation (slices.py:321-403) + batch
+    window_from_bounds/round_outer_window read planning
+    (window_utils.py:532-596) as one tagged union."""
+    tiles = q_create_windows(spark, sf_dir).select(
+        F.lit("tiles").alias("part"), F.lit(None).cast("long").alias("id"),
+        "col_off", "row_off", "width", "height",
+    )
+    wfb = q_window_from_bounds(spark, sf_dir).select(
+        F.lit("wfb").alias("part"), F.col("id").cast("long").alias("id"),
+        "col_off", "row_off", "width", "height",
+    )
+    return tiles.unionByName(wfb)
+
+
+Q_WINDOWS_ALGEBRA_SQL = f"""
+SELECT 'tiles' AS part, CAST(NULL AS BIGINT) AS id,
+       col_off, row_off, width, height
+FROM ({Q_CREATE_WINDOWS_SQL}) t
+UNION ALL
+SELECT 'wfb' AS part, CAST(id AS BIGINT) AS id,
+       col_off, row_off, width, height
+FROM ({Q_WINDOW_FROM_BOUNDS_SQL}) w
+"""
+
+del REGISTRY["geo_create_windows"]
+del REGISTRY["geo_window_from_bounds"]
+_repl = {"geo_windows_algebra": (q_windows_algebra, Q_WINDOWS_ALGEBRA_SQL)}
+REGISTRY.update(_repl)
+_oracle_gated = {n: v for n, v in REGISTRY.items() if v[1] is not None}
+_rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
+REGISTRY.clear()
+REGISTRY.update(_oracle_gated)
+REGISTRY.update(_rows_only)

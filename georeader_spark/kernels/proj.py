@@ -314,6 +314,58 @@ def ps_inverse(x, y, p):
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal (Snyder pp. 243-248) — the MODIS land grid projection
+# (sphere R=6371007.181; PROJ "+proj=sinu +R=6371007.181 ..."). Also
+# ellipsoidal form (meridian-arc series) for completeness.
+# ---------------------------------------------------------------------------
+
+def _meridian_arc_coeffs(e2: float):
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+        3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+        15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+        35.0 * e6 / 3072.0,
+    )
+
+
+def sinu_forward(lon, lat, p):
+    a, f = ELLIPSOIDS[p["ellps"]] if "ellps" in p else (p["R"], 0.0)
+    e2 = _e2(f)
+    lam0 = math.radians(p.get("lon_0", 0.0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    s = np.sin(phi)
+    x = a * lam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    c0, c2, c4, c6 = _meridian_arc_coeffs(e2)
+    y = a * (c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+             - c6 * np.sin(6 * phi))
+    return p.get("x_0", 0.0) + x, p.get("y_0", 0.0) + y
+
+
+def sinu_inverse(x, y, p):
+    a, f = ELLIPSOIDS[p["ellps"]] if "ellps" in p else (p["R"], 0.0)
+    e2 = _e2(f)
+    lam0 = math.radians(p.get("lon_0", 0.0))
+    xp = np.asarray(x, dtype=np.float64) - p.get("x_0", 0.0)
+    yp = np.asarray(y, dtype=np.float64) - p.get("y_0", 0.0)
+    c0, c2, c4, c6 = _meridian_arc_coeffs(e2)
+    phi = yp / (a * c0)
+    for _ in range(10):  # invert the meridian arc by fixed point
+        m = a * (c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+                 - c6 * np.sin(6 * phi))
+        phi = phi + (yp - m) / (a * c0)
+    s = np.sin(phi)
+    cosphi = np.cos(phi)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.where(
+            np.abs(cosphi) < 1e-12, 0.0,
+            xp * np.sqrt(1.0 - e2 * s * s) / (a * cosphi),
+        )
+    return np.degrees(lam + lam0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Transverse Mercator (Krüger series), arbitrary ellipsoid/k0/origin —
 # the family behind every national grid (OSGB, ETRS89/UTM, ED50/UTM,
 # Gauss-Krüger). Same series as kernels/crs.py's WGS84-only UTM, but
@@ -522,9 +574,11 @@ EPSG_PARAMS: Dict[int, Tuple[str, dict]] = {
 }
 
 _FWD = {"lcc2sp": lcc2sp_forward, "albers": albers_forward,
-        "laea": laea_forward, "ps": ps_forward, "tm": tm_forward}
+        "laea": laea_forward, "ps": ps_forward, "tm": tm_forward,
+        "sinu": sinu_forward}
 _INV = {"lcc2sp": lcc2sp_inverse, "albers": albers_inverse,
-        "laea": laea_inverse, "ps": ps_inverse, "tm": tm_inverse}
+        "laea": laea_inverse, "ps": ps_inverse, "tm": tm_inverse,
+        "sinu": sinu_inverse}
 
 
 _PROJ4_ELLPS = {
@@ -533,7 +587,7 @@ _PROJ4_ELLPS = {
 }
 
 _PROJ4_FAMILY = {"lcc": "lcc2sp", "aea": "albers", "laea": "laea",
-                 "stere": "ps", "tmerc": "tm"}
+                 "stere": "ps", "tmerc": "tm", "sinu": "sinu"}
 
 
 def parse_proj4(s: str) -> Tuple[str, dict]:
@@ -564,6 +618,20 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
         return "webmerc", {}
     if proj == "utm":
         return "utm", {"zone": int(kv["zone"]), "south": "south" in kv}
+    if proj == "sinu":
+        p = {"lon_0": float(kv.get("lon_0", 0.0)),
+             "x_0": float(kv.get("x_0", 0.0)),
+             "y_0": float(kv.get("y_0", 0.0))}
+        if "R" in kv:
+            p["R"] = float(kv["R"])  # spherical form (the MODIS grid)
+        elif "a" in kv and kv.get("a") == kv.get("b", kv.get("a")):
+            p["R"] = float(kv["a"])
+        else:
+            ell = _PROJ4_ELLPS.get(kv.get("ellps", "WGS84").upper())
+            if ell is None:
+                raise ValueError(f"unsupported ellipsoid in {s!r}")
+            p["ellps"] = ell
+        return "sinu", p
 
     ellps = kv.get("ellps")
     if ellps is None:
@@ -597,6 +665,139 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
     elif proj == "tmerc":
         p["k_0"] = float(kv.get("k", kv.get("k_0", 1.0)))
     return _PROJ4_FAMILY[proj], p
+
+
+_WKT_PROJ = {
+    "TRANSVERSE_MERCATOR": "tm",
+    "LAMBERT_CONFORMAL_CONIC_2SP": "lcc2sp",
+    "LAMBERT_CONFORMAL_CONIC": "lcc2sp",
+    "ALBERS_CONIC_EQUAL_AREA": "albers",
+    "ALBERS": "albers",
+    "LAMBERT_AZIMUTHAL_EQUAL_AREA": "laea",
+    "POLAR_STEREOGRAPHIC": "ps",
+    "SINUSOIDAL": "sinu",
+}
+
+_WKT_PARAM = {
+    "CENTRAL_MERIDIAN": "lon_0", "LONGITUDE_OF_CENTER": "lon_0",
+    "LATITUDE_OF_ORIGIN": "lat_0", "LATITUDE_OF_CENTER": "lat_0",
+    "STANDARD_PARALLEL_1": "lat_1", "STANDARD_PARALLEL_2": "lat_2",
+    "SCALE_FACTOR": "k_0",
+    "FALSE_EASTING": "x_0", "FALSE_NORTHING": "y_0",
+}
+
+
+def _wkt_node(s: str, pos: int = 0):
+    """Parse one WKT1 node NAME[arg, arg, ...] -> (name, args, endpos);
+    args are nested nodes, quoted strings, or floats."""
+    m = pos
+    while m < len(s) and s[m] not in "[":
+        m += 1
+    name = s[pos:m].strip().upper()
+    args = []
+    i = m + 1
+    while i < len(s):
+        c = s[i]
+        if c in ", \t\n\r":
+            i += 1
+        elif c == "]":
+            return name, args, i + 1
+        elif c == '"':
+            j = s.index('"', i + 1)
+            args.append(s[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < len(s) and s[j] not in ",[]":
+                j += 1
+            if j < len(s) and s[j] == "[":
+                node, sub, j2 = _wkt_node(s, i)
+                args.append((node, sub))
+                i = j2
+            else:
+                tok = s[i:j].strip()
+                try:
+                    args.append(float(tok))
+                except ValueError:
+                    args.append(tok)
+                i = j
+    raise ValueError("unbalanced WKT")
+
+
+def _wkt_find(args, name):
+    out = []
+    for a in args:
+        if isinstance(a, tuple) and a[0] == name:
+            out.append(a[1])
+    return out
+
+
+def _ellps_key(a: float, inv_f: float) -> str:
+    """Ellipsoid key for arbitrary WKT spheroids — matches a known
+    ellipsoid when the numbers agree, else registers an ephemeral one."""
+    f = 0.0 if inv_f == 0 else 1.0 / inv_f
+    for k, (ka, kf) in ELLIPSOIDS.items():
+        if abs(ka - a) < 1e-3 and abs(kf - f) < 1e-11:
+            return k
+    key = f"WKT_{a:.3f}_{inv_f:.9f}"
+    ELLIPSOIDS[key] = (a, f)
+    return key
+
+
+def parse_wkt(s: str) -> Tuple[str, dict]:
+    """Minimal OGC WKT1 CRS parser -> (family, params): PROJCS with the
+    projections this kernel implements, or GEOGCS -> geographic. Honors
+    SPHEROID (arbitrary ellipsoids), TOWGS84 (datum shift), and the
+    standard PARAMETER names. The reference accepts WKT via
+    rasterio/pyproj (``rasterio_crs``, __init__.py:175-226)."""
+    name, args, _ = _wkt_node(s.strip())
+    if name == "GEOGCS":
+        return "geographic", {}
+    if name != "PROJCS":
+        raise ValueError(f"unsupported WKT node {name!r}")
+    projs = _wkt_find(args, "PROJECTION")
+    if not projs:
+        raise ValueError("PROJCS without PROJECTION")
+    pname = str(projs[0][0]).strip().upper().replace('"', "")
+    fam = _WKT_PROJ.get(pname)
+    if fam is None:
+        raise ValueError(f"unsupported WKT projection {pname!r}")
+    p: dict = {"lat_0": 0.0, "lon_0": 0.0, "x_0": 0.0, "y_0": 0.0}
+    for sub in _wkt_find(args, "PARAMETER"):
+        key = _WKT_PARAM.get(str(sub[0]).strip().upper())
+        if key:
+            p[key] = float(sub[1])
+    geogcs = _wkt_find(args, "GEOGCS")
+    if geogcs:
+        datum = _wkt_find(geogcs[0], "DATUM")
+        if datum:
+            sph = _wkt_find(datum[0], "SPHEROID")
+            if sph:
+                p["ellps"] = _ellps_key(float(sph[0][1]), float(sph[0][2]))
+            tw = _wkt_find(datum[0], "TOWGS84")
+            if tw:
+                t = [float(v) for v in tw[0]]
+                if len(t) == 3:
+                    t += [0.0, 0.0, 0.0, 0.0]
+                if any(t):
+                    p["towgs84"] = tuple(t)
+    p.setdefault("ellps", "WGS84")
+    if fam == "ps":
+        lat_ts = p.pop("lat_1", None)
+        lat0 = p.pop("lat_0", 90.0)
+        p["lat_ts"] = lat_ts if lat_ts is not None else lat0
+        if abs(p["lat_ts"]) == 90.0 and p.pop("k_0", 1.0) != 1.0:
+            raise ValueError("polar stereographic variant A (k_0) unsupported")
+        p.pop("k_0", None)
+        p.pop("lat_2", None)
+    elif fam == "tm":
+        p.setdefault("k_0", 1.0)
+        p.pop("lat_1", None)
+        p.pop("lat_2", None)
+    elif fam == "sinu":
+        p.pop("lat_0", None)
+        p.pop("k_0", None)
+    return fam, p
 
 
 def _epsg_code(crs: str) -> int:
@@ -633,10 +834,19 @@ def _family_from_wgs84(fam: str, p: dict, lon, lat):
     return _FWD[fam](lon, lat, p)
 
 
+def _parse_crs_string(crs: str):
+    c = str(crs).strip()
+    if c.startswith("+"):
+        return parse_proj4(c)
+    if c[:7].upper() in ("PROJCS[", "GEOGCS["):
+        return parse_wkt(c)
+    return None
+
+
 def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
-    if str(crs).strip().startswith("+"):
-        fam, p = parse_proj4(str(crs))
-        return _family_to_wgs84(fam, p, x, y)
+    parsed = _parse_crs_string(crs)
+    if parsed is not None:
+        return _family_to_wgs84(parsed[0], parsed[1], x, y)
     code = _epsg_code(crs)
     if code == 4326:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
@@ -656,9 +866,9 @@ def to_wgs84(x: ArrayLike, y: ArrayLike, crs: str):
 
 
 def from_wgs84(lon: ArrayLike, lat: ArrayLike, crs: str):
-    if str(crs).strip().startswith("+"):
-        fam, p = parse_proj4(str(crs))
-        return _family_from_wgs84(fam, p, lon, lat)
+    parsed = _parse_crs_string(crs)
+    if parsed is not None:
+        return _family_from_wgs84(parsed[0], parsed[1], lon, lat)
     code = _epsg_code(crs)
     if code == 4326:
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)

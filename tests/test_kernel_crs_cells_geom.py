@@ -388,6 +388,55 @@ class TestProjGeneral:
         with pytest.raises(ValueError):
             P.parse_proj4("+proj=omerc +lat_0=4")  # unsupported family
 
+    def test_wkt_strings_and_modis_sinusoidal(self):
+        """WKT1 CRS specs + the MODIS sinusoidal grid: the parser must
+        route to the same kernels as EPSG/proj4, and sinusoidal must
+        reproduce the published MODIS 10-deg tile northing."""
+        from georeader_spark.kernels import proj as P
+
+        lon = np.array([-3.70391, 2.5])
+        lat = np.array([40.41681, 47.0])
+        wkt_lcc = (
+            'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM['
+            '"Reseau_Geodesique_Francais_1993",SPHEROID["GRS 1980",6378137,'
+            '298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",'
+            '0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],'
+            'PARAMETER["standard_parallel_1",49],PARAMETER['
+            '"standard_parallel_2",44],PARAMETER["latitude_of_origin",46.5],'
+            'PARAMETER["central_meridian",3],PARAMETER["false_easting",'
+            '700000],PARAMETER["false_northing",6600000],UNIT["metre",1]]'
+        )
+        x1, y1 = P.from_wgs84(lon, lat, wkt_lcc)
+        x2, y2 = P.from_wgs84(lon, lat, "EPSG:2154")
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+        wkt_bng = (
+            'PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",'
+            'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646],'
+            "TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],"
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin"'
+            ',49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",'
+            '0.9996012717],PARAMETER["false_easting",400000],PARAMETER['
+            '"false_northing",-100000],UNIT["metre",1]]'
+        )
+        xb, yb = P.from_wgs84(-0.12771, 51.50741, wkt_bng)
+        xe, ye = P.from_wgs84(-0.12771, 51.50741, "EPSG:27700")
+        assert float(xb) == float(xe) and float(yb) == float(ye)
+
+        # MODIS sinusoidal sphere: 10 deg of latitude = one tile height
+        modis = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181 +units=m"
+        _, y10 = P.from_wgs84(0.0, 10.0, modis)
+        assert abs(float(y10) - 1111950.5196666666) < 2e-4
+        rng = np.random.default_rng(3)
+        ln = rng.uniform(-170, 170, 300)
+        lt = rng.uniform(-85, 85, 300)
+        x, y = P.from_wgs84(ln, lt, modis)
+        lo, la = P.to_wgs84(x, y, modis)
+        assert float(np.abs(lo - ln).max()) < 1e-9
+        assert float(np.abs(la - lt).max()) < 1e-9
+
     def test_mgrs_full_tile_origin(self):
         """Full MGRS 100 km square -> (EPSG, easting, northing) origin:
         public-grid anchors (Madrid 30TVK, Toulouse/S2 31TCJ, Sydney

@@ -100,6 +100,34 @@ class TestPlanShapes:
         # HashAggregate on o_custkey must exist
         assert "o_custkey" in plan and "HashAggregate" in plan
 
+    def test_flagship_extraction_not_pushed_into_scan(self, spark):
+        """Round-3 gate-join: the extraction-invariant predicate joins
+        against a broadcast 1-row relation, so the html decode +
+        extraction regexes must NOT appear in the parquet scan's
+        DataFilters (round 2's .where() pushed them there — the decode
+        ran 3x/row). Regression-pins the -21% flagship win."""
+        import tempfile
+
+        from georeader_spark.pipeline import pages_pipeline
+        from georeader_spark.sources.pages import pages
+
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/pages.parquet"
+            pages(spark, 500).write.parquet(path)
+            df = spark.read.parquet(path)
+            out = pages_pipeline(spark, pages_df=df, repartition=False)
+            plan = _plan(out)
+            scan_lines = [
+                l for l in plan.splitlines()
+                if "FileScan" in l or "Scan parquet" in l
+            ]
+            assert scan_lines, "expected a parquet scan in the plan"
+            for l in scan_lines:
+                assert "regexp" not in l, "extraction regex pushed into scan"
+            # the gate itself is a join whose condition references _pass
+            assert "_pass" in plan
+            out.count()  # and it still runs
+
     def test_salted_join_exact_and_spreads_hot_key(self, spark, sf_dir):
         """salted_join must (a) equal the naive join bit-for-bit and
         (b) actually join on (key, salt) with >1 distinct salt on the

@@ -3463,3 +3463,52 @@ _rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
 REGISTRY.clear()
 REGISTRY.update(_oracle_gated)
 REGISTRY.update(_rows_only)
+
+
+# --- URL analysis over the pages corpus (curation staple: per-domain
+# rollups drive crawl sampling / dedup-by-site decisions) ----------------
+
+def q_pages_url_stats(spark, sf_dir):
+    """Per-host page stats via Spark's native URL parser (parse_url
+    HOST/PATH — JVM-side, no UDF): page counts, distinct languages,
+    max path length per site. Oracle-gated the same way as
+    pages_pipeline: the DuckDB twin re-derives host/path/lang from the
+    generator arithmetic (urls are deterministic in page id), so a
+    Spark-side parse bug surfaces as a hash mismatch."""
+    from .sources.pages import pages as synth_pages
+
+    p = synth_pages(spark, 20000)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return (
+        p.select(host.alias("host"), path.alias("path"), "lang")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.max(F.length("path")).cast("long").alias("max_path_len"),
+        )
+    )
+
+
+Q_PAGES_URL_STATS_SQL = """
+WITH u AS (
+  SELECT printf('site%05d.example', CAST((range * 131) % 1000 AS INT)) AS host,
+         printf('/page/%07d', CAST(range AS INT)) AS path,
+         ['en','es','fr','de','pt'][CAST((range * 31 + 7) % 5 AS INT) + 1] AS lang
+  FROM range(0, 20000)
+)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MAX(LENGTH(path)) AS BIGINT) AS max_path_len
+FROM u GROUP BY host
+"""
+
+REGISTRY.update(
+    {"pages_url_stats": (q_pages_url_stats, Q_PAGES_URL_STATS_SQL)}
+)
+_oracle_gated = {n: v for n, v in REGISTRY.items() if v[1] is not None}
+_rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
+REGISTRY.clear()
+REGISTRY.update(_oracle_gated)
+REGISTRY.update(_rows_only)

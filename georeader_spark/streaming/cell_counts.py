@@ -60,3 +60,47 @@ def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_pages_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    watermark: str = "2 days",
+    window_len: str = "1 day",
+) -> DataFrame:
+    """The FULL north-rule pipeline as a stream: readStream pages ->
+    JVM extract (byte-identity gate) -> cell encode -> broadcast PIP
+    join (stream-static equi-join — the polygon cover is a static
+    broadcast relation, so the stream side never shuffles for it) ->
+    tile assignment -> watermarked event-time window counts per
+    (day, cell, poly, tile). AvailableNow-drained batch-parity tested
+    against the batch pipeline's counts."""
+    from ..functions.geo import cell_encode
+    from ..operators.pip_join import pip_join
+    from ..operators.tiling import assign_points_to_tiles
+    from ..pipeline import extract_stage, pip_polytable
+    from ..queries import CELL_R, TILE_SIZE, TILE_TRANSFORM
+
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    extracted = extract_stage(stream)
+    ok = extracted.where(F.col("text_ok") & F.col("lon").isNotNull())
+    encoded = ok.withColumn(
+        "cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R)
+    ).select("warc_ts", "lon", "lat", "cell")
+    joined = pip_join(encoded, pip_polytable(), r=6)
+    tiled = assign_points_to_tiles(
+        joined, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"
+    )
+    return (
+        tiled.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window_len).alias("day"),
+            "cell", "poly_id", "tile_row", "tile_col",
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("day.start").alias("day_start"),
+            "cell", "poly_id", "tile_row", "tile_col", "n_pages",
+        )
+    )

@@ -294,6 +294,63 @@ class TestStreaming:
             assert expect.get(k) == got[k], k
         assert len(got) >= len(closed_expect) > 0
 
+    def test_streaming_full_pipeline_matches_batch(self, spark, tmp_path):
+        """AvailableNow drain of the FULL streaming north-rule pipeline
+        (extract -> cell -> broadcast PIP join -> tile -> watermarked
+        window counts) equals the batch pipeline grouped the same way."""
+        from georeader_spark.functions.geo import cell_encode
+        from georeader_spark.operators.pip_join import pip_join
+        from georeader_spark.operators.tiling import assign_points_to_tiles
+        from georeader_spark.pipeline import extract_stage, pip_polytable
+        from georeader_spark.queries import CELL_R, TILE_SIZE, TILE_TRANSFORM
+        from georeader_spark.sources.pages import pages
+        from georeader_spark.streaming.cell_counts import (
+            run_available_now,
+            streaming_pages_pipeline,
+        )
+
+        src_dir = str(tmp_path / "pages")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        pages(spark, 2000).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = streaming_pages_pipeline(spark, src_dir, schema)
+        run_available_now(stream, out_dir, ckpt)
+        got = {
+            (r["day_start"], r["cell"], r["poly_id"], r["tile_row"],
+             r["tile_col"]): r["n_pages"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got, "stream emitted no closed windows"
+
+        batch = extract_stage(spark.read.parquet(src_dir)).where(
+            F.col("text_ok") & F.col("lon").isNotNull()
+        ).withColumn("cell", cell_encode(F.col("lon"), F.col("lat"), CELL_R))
+        joined = pip_join(
+            batch.select("warc_ts", "lon", "lat", "cell"), pip_polytable(), r=6
+        )
+        tiled = assign_points_to_tiles(
+            joined, TILE_TRANSFORM, TILE_SIZE, x_col="lon", y_col="lat"
+        )
+        expect_df = (
+            tiled.groupBy(
+                F.window("warc_ts", "1 day").alias("day"),
+                "cell", "poly_id", "tile_row", "tile_col",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("day.start").alias("day_start"), "cell",
+                    "poly_id", "tile_row", "tile_col", "n")
+        )
+        expect = {
+            (r["day_start"], r["cell"], r["poly_id"], r["tile_row"],
+             r["tile_col"]): r["n"]
+            for r in expect_df.collect()
+        }
+        # append mode withholds windows the watermark has not closed
+        for k, v in got.items():
+            assert expect.get(k) == v, k
+
     def test_stateful_sessions_match_batch(self, spark, tmp_path):
         """applyInPandasWithState sessionizer: the CLOSED sessions the
         stream emits equal the batch gap-sessionization minus each

@@ -321,3 +321,154 @@ def ann_topk_ivf(
         .where(F.col("rank") <= k)
         .select(q_id, vec_id, "rank", F.round("cos_sim", 9).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB embedding-store scale path:
+# vectors compress to m uint8 codes (dim*4 bytes -> m bytes, 32x at
+# dim=64/m=8), search runs on an m-term lookup-table sum (ADC), and the
+# original float vectors are only touched for the exact top-R refine.
+# Jegou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011, public). Training reuses the same deterministic
+# distributed Lloyd loop as the IVF coarse quantizer.
+# ---------------------------------------------------------------------------
+
+def _l2_normalize_col(vec):
+    """Unit-normalize so L2 order == cosine order (PQ approximates L2)."""
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(vec, lambda x: x / n)
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list:
+    """Per-subspace codebooks via the distributed Lloyd loop: each
+    subspace trains on the corresponding slice of the (normalized)
+    vectors; only m * n_codes * (dim/m) floats ever reach the driver."""
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    norm = vectors.select(
+        _l2_normalize_col(F.col(vec_col).cast("array<double>")).alias("_v")
+    )
+    books = []
+    for s in range(m_subspaces):
+        sliced = norm.select(F.slice("_v", s * sub + 1, sub).alias("embedding"))
+        books.append(ivf_train_centroids(sliced, n_lists=n_codes, iters=iters))
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors -> (vec_id, codes array<int>) via one Arrow batch pass:
+    per subspace, argmin L2 to the 16/256 codebook rows (a single
+    numpy matmul per batch — same shape as the LSH bucket encoder)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = cb[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def codes_udf(emb: pd.Series) -> pd.Series:
+        X = np.asarray(list(emb), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = -2.0 * (Xs @ cb[s].T) + (cb[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return vectors.select(
+        vec_id, codes_udf(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+
+def ann_topk_pq(
+    vectors: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int,
+    refine_factor: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_embedding",
+) -> DataFrame:
+    """ADC search: each query precomputes an m x n_codes distance LUT
+    driver-side (tiny), broadcast as literal arrays; the approximate
+    distance of a corpus vector is an m-term element_at sum over its
+    codes — pure JVM expressions over the COMPRESSED table (the float
+    vectors are never scanned). The top refine_factor*k approximate
+    hits per query are then exactly refined (cosine) against the
+    original vectors via a semi-join on vec_id."""
+    import numpy as np
+
+    m = len(codebooks)
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = cb[0].shape[1]
+    qrows = queries.select(q_id, q_vec).collect()  # |Q| is small by contract
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[q_vec], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        luts = []
+        for s in range(m):
+            qs = qv[s * sub : (s + 1) * sub]
+            d = ((cb[s] - qs[None, :]) ** 2).sum(axis=1)
+            luts.append([float(x) for x in d])
+        lut_rows.append((int(r[q_id]), luts))
+    spark = vectors.sparkSession
+    lut_df = F.broadcast(spark.createDataFrame(
+        lut_rows, f"{q_id} int, lut array<array<double>>"
+    ))
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.crossJoin(lut_df)
+        .withColumn("adc", adc)
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(vec_id).asc())
+            ),
+        )
+        .where(F.col("_rank") <= refine_factor * k)
+        .select(q_id, vec_id)
+    )
+    refined = (
+        cand.join(vectors.select(vec_id, vec_col), vec_id)
+        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
+        .withColumn(
+            "sim",
+            cosine_similarity_col(
+                F.col(vec_col).cast("array<double>"),
+                F.col(q_vec).cast("array<double>"),
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select(q_id, vec_id, "rank", F.round("sim", 6).alias("sim"))
+    )
+    return refined

@@ -3512,3 +3512,30 @@ _rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
 REGISTRY.clear()
 REGISTRY.update(_oracle_gated)
 REGISTRY.update(_rows_only)
+
+
+# --- PQ ANN (compressed-domain search; Jegou et al. 2011) ------------------
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization approximate top-k: per-subspace codebooks
+    from the distributed Lloyd loop (8 subspaces x 16 codes = 32-bit
+    codes, 16x smaller than the float vectors), ADC search as an
+    m-term element_at sum over the COMPRESSED table (the float vectors
+    are scanned only for the exact top-R refine). Rows-only (k-means
+    training is not SQL-expressible); pytest pins recall vs brute
+    force and self-match exactness. The random synthetic corpus is
+    PQ's worst case (no cluster structure) — the refine_factor dial
+    trades candidates for recall (measured 0.75 @ rf=10 here; real
+    embedding corpora cluster and do far better)."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    books = S.pq_train_codebooks(vecs, m_subspaces=8, n_codes=16, iters=2)
+    codes = S.pq_encode(vecs, books)
+    return S.ann_topk_pq(vecs, codes, queries, books, k=5, refine_factor=10)
+
+
+REGISTRY.update({"ann_pq_topk": (q_ann_pq_topk, None)})

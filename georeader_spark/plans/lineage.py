@@ -151,6 +151,7 @@ def salted_join(
     n_salts: int = 16,
     id_col: Optional[str] = None,
     how: str = "inner",
+    hot_keys: Optional[list] = None,
 ) -> DataFrame:
     """Skew-salted equi-join (north rule: "explicit salted
     repartitioning on hot H3 cells"): facts whose key is hot get
@@ -159,15 +160,35 @@ def salted_join(
     join runs on (key, salt) — the hot key's rows spread over n_salts
     reducers instead of funneling into one sort task. Exact for any
     1:N equi-join: every fact row still meets exactly the dim rows of
-    its key. At scale the hot-key set comes from the lineage histogram
-    (StageStore.run_stage metrics) instead of the count pass here."""
-    hot = (
-        facts.groupBy(key_col)
-        .count()
-        .where(F.col("count") > hot_threshold)
-        .select(F.col(key_col).alias("_hot_key"))
-    )
-    facts_s = salt_for_skew(facts, key_col, hot_threshold, n_salts, id_col)
+    its key. ``hot_keys`` skips the detection count pass — the
+    production path, where the hot-key set comes from the lineage
+    histogram (StageStore.run_stage ``hottest_cells`` metrics) written
+    when the facts were materialized."""
+    spark = facts.sparkSession
+    if hot_keys is not None:
+        hot = spark.createDataFrame(
+            [(k,) for k in hot_keys], f"_hot_key {facts.schema[key_col].dataType.simpleString()}"
+        )
+        salt_src = F.col(id_col) if id_col else F.monotonically_increasing_id()
+        facts_s = (
+            facts.join(F.broadcast(hot), facts[key_col] == F.col("_hot_key"), "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_hot_key").isNotNull(),
+                    F.pmod(F.hash(salt_src), F.lit(n_salts)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot_key")
+        )
+    else:
+        hot = (
+            facts.groupBy(key_col)
+            .count()
+            .where(F.col("count") > hot_threshold)
+            .select(F.col(key_col).alias("_hot_key"))
+        )
+        facts_s = salt_for_skew(facts, key_col, hot_threshold, n_salts, id_col)
     spark = facts.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
     dim_hot = (

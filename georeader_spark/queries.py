@@ -3266,7 +3266,8 @@ def _skew_fixture(spark, sf_dir, amplify: int = 8, payload: bool = False):
 
 
 def skew_join_agg(spark, sf_dir, amplify: int = 8, payload: bool = False,
-                  salted: bool = True, n_salts: int = 32, facts_df=None):
+                  salted: bool = True, n_salts: int = 32, facts_df=None,
+                  hot_keys=None):
     """Per-cell aggregate over the skewed fact ⋈ dim join — salted
     (plans/lineage.salted_join) or the naive control. hot_threshold
     scales with the fixture (10x the mean rows/cell) so 'hot' keeps
@@ -3284,7 +3285,7 @@ def skew_join_agg(spark, sf_dir, amplify: int = 8, payload: bool = False,
     if salted:
         joined = salted_join(
             facts, dim, "cell", hot_threshold=hot_threshold,
-            n_salts=n_salts, id_col="fact_id",
+            n_salts=n_salts, id_col="fact_id", hot_keys=hot_keys,
         )
     else:
         joined = facts.join(dim, "cell")

@@ -439,3 +439,17 @@ class TestNewOpPlanShapes:
         plan = mask._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestSaltedJoinHotKeys:
+    def test_precomputed_hot_keys_match_detection(self, spark, sf_dir):
+        """salted_join(hot_keys=...) — the production path fed from the
+        lineage histogram — must produce the same rows as the inline
+        detection pass."""
+        from georeader_spark.queries import skew_join_agg
+
+        a = sorted(map(tuple, skew_join_agg(spark, sf_dir, salted=True).collect()))
+        b = sorted(map(tuple, skew_join_agg(
+            spark, sf_dir, salted=True, hot_keys=[0]).collect()))
+        c = sorted(map(tuple, skew_join_agg(spark, sf_dir, salted=False).collect()))
+        assert a == b == c

@@ -43,6 +43,10 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = float
+_T_STRIP_OFFSETS = 273
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTE_COUNTS = 279
+_T_PREDICTOR = 317  # 2 = horizontal differencing
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
 _T_MODEL_TRANSFORMATION = 34264
@@ -320,30 +324,75 @@ def decode_geotiff(
     dtype = _DTYPES_INV.get((bits, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample type bits={bits} fmt={fmt}")
-    if _T_TILE_WIDTH not in tags:
-        raise ValueError("only tiled TIFFs supported (the encoder's layout)")
-    tw, th = tags[_T_TILE_WIDTH][0], tags[_T_TILE_LENGTH][0]
-    offs, counts = tags[_T_TILE_OFFSETS], tags[_T_TILE_BYTE_COUNTS]
-    tr, tc = _tile_grid(h, w, tw) if tw == th else (
-        (h + th - 1) // th, (w + tw - 1) // tw)
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+
+    def _undiff(arr: np.ndarray) -> np.ndarray:
+        """Predictor=2 (horizontal differencing, GDAL's default for
+        deflate): cumulative-sum each row per interleaved sample."""
+        if predictor != 2:
+            return arr
+        a = arr.astype(np.int64) if arr.dtype.kind in "iu" else arr
+        a = np.cumsum(a, axis=-1, dtype=a.dtype if a.dtype.kind == "f" else np.int64)
+        return a.astype(arr.dtype)
+
     out = np.zeros((nb, h, w), dtype=dtype)
-    tiles_per_band = tr * tc
-    for k, (o, c) in enumerate(zip(offs, counts)):
-        raw = buf[o : o + c]
-        if comp == 8:
-            raw = zlib.decompress(raw)
-        block = np.frombuffer(raw, dtype=dtype).reshape(th, tw)
-        if planar == 2:
-            b, rem = divmod(k, tiles_per_band)
-            i, j = divmod(rem, tc)
-            ys, xs = i * th, j * tw
-            sub = block[: min(th, h - ys), : min(tw, w - xs)]
-            out[b, ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = sub
-        else:  # chunky single-band
-            i, j = divmod(k, tc)
-            ys, xs = i * th, j * tw
-            sub = block[: min(th, h - ys), : min(tw, w - xs)]
-            out[0, ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = sub
+    if _T_TILE_WIDTH in tags:
+        tw, th = tags[_T_TILE_WIDTH][0], tags[_T_TILE_LENGTH][0]
+        offs, counts = tags[_T_TILE_OFFSETS], tags[_T_TILE_BYTE_COUNTS]
+        tr = (h + th - 1) // th
+        tc = (w + tw - 1) // tw
+        tiles_per_band = tr * tc
+        for k, (o, c) in enumerate(zip(offs, counts)):
+            raw = buf[o : o + c]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            if planar == 2 or nb == 1:
+                b, rem = (divmod(k, tiles_per_band) if planar == 2 else (0, k))
+                block = np.frombuffer(raw, dtype=dtype).reshape(th, tw)
+                block = _undiff(block)
+                i, j = divmod(rem, tc)
+                ys, xs = i * th, j * tw
+                sub = block[: min(th, h - ys), : min(tw, w - xs)]
+                out[b, ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = sub
+            else:  # chunky multi-band tile: (th, tw, nb) interleave
+                block = np.frombuffer(raw, dtype=dtype).reshape(th, tw, nb)
+                if predictor == 2:
+                    block = np.stack(
+                        [_undiff(block[:, :, s]) for s in range(nb)], axis=2
+                    )
+                i, j = divmod(k, tc)
+                ys, xs = i * th, j * tw
+                sub = block[: min(th, h - ys), : min(tw, w - xs), :]
+                out[:, ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = (
+                    sub.transpose(2, 0, 1)
+                )
+    elif _T_STRIP_OFFSETS in tags:
+        rps = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+        offs, counts = tags[_T_STRIP_OFFSETS], tags[_T_STRIP_BYTE_COUNTS]
+        strips_per_band = (h + rps - 1) // rps
+        for k, (o, c) in enumerate(zip(offs, counts)):
+            raw = buf[o : o + c]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            if planar == 2 or nb == 1:
+                b, si = (divmod(k, strips_per_band) if planar == 2 else (0, k))
+                ys = si * rps
+                rows_here = min(rps, h - ys)
+                block = np.frombuffer(raw, dtype=dtype).reshape(rows_here, w)
+                out[b, ys : ys + rows_here] = _undiff(block)
+            else:  # chunky multi-band strip: (rows, w, nb)
+                ys = k * rps
+                rows_here = min(rps, h - ys)
+                block = np.frombuffer(raw, dtype=dtype).reshape(rows_here, w, nb)
+                if predictor == 2:
+                    block = np.stack(
+                        [_undiff(block[:, :, s]) for s in range(nb)], axis=2
+                    )
+                out[:, ys : ys + rows_here] = block.transpose(2, 0, 1)
+    else:
+        raise ValueError("TIFF has neither tile nor strip offsets")
 
     # georeferencing from the FULL-RES IFD (overviews share it), scaled
     base = ifds[0]

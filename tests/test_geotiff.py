@@ -99,3 +99,119 @@ class TestGeoTiffSpark:
         tifs = long_to_geotiff(src, 64, 64, t, tile=32, overview_levels=1)
         lod = geotiff_to_long(tifs, overview=1)
         assert lod.count() == 32 * 32
+
+
+def _write_tiff(arrays, *, layout="strips", planar=1, compress=False,
+                predictor=1, rps=16):
+    """Minimal test-side TIFF writer for layouts OUR encoder does not
+    emit (strips, chunky interleave, predictor) — exercises the
+    decoder's compatibility surface against independently-built bytes."""
+    import struct
+    import zlib as _z
+
+    from georeader_spark.kernels.geotiff import _IfdBuilder
+
+    nb, h, w = arrays.shape
+    dt = arrays.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    def diff(a2d):
+        if predictor != 2:
+            return a2d
+        d = a2d.astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        return d.astype(dt)
+
+    payloads = []
+    if layout == "strips":
+        n_strips = (h + rps - 1) // rps
+        if planar == 2:
+            for b in range(nb):
+                for s in range(n_strips):
+                    rows = arrays[b, s * rps : s * rps + rps]
+                    payloads.append(diff(rows).tobytes())
+        else:
+            for s in range(n_strips):
+                rows = arrays[:, s * rps : s * rps + rps]  # (nb, r, w)
+                inter = np.stack([diff(rows[b]) for b in range(nb)], axis=2)
+                payloads.append(inter.tobytes())
+    else:
+        raise ValueError(layout)
+    if compress:
+        payloads = [_z.compress(p, 6) for p in payloads]
+
+    ifd = _IfdBuilder()
+    ifd.add(256, 4, w)
+    ifd.add(257, 4, h)
+    ifd.add(258, 3, [bits] * nb)
+    ifd.add(259, 3, 8 if compress else 1)
+    ifd.add(262, 3, 1)
+    ifd.add(277, 3, nb)
+    ifd.add(284, 3, planar)
+    ifd.add(339, 3, [fmt] * nb)
+    ifd.add(278, 4, rps)
+    if predictor == 2:
+        ifd.add(317, 3, 2)
+    ifd.add(273, 4, [0] * len(payloads))
+    ifd.add(279, 4, [len(p) for p in payloads])
+    ifd_off = 8
+    data_off = ifd_off + ifd.size() + (ifd.size() & 1)
+    offs = []
+    for p in payloads:
+        offs.append(data_off)
+        data_off += len(p) + (len(p) & 1)
+    for k, e in enumerate(ifd.entries):
+        if e[0] == 273:
+            ifd.entries[k] = (273, 4, len(offs),
+                              struct.pack(f"<{len(offs)}I", *offs))
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += ifd.render(ifd_off, 0)
+    out += b"\x00" * ((ifd_off + ifd.size() + (ifd.size() & 1)) - len(out))
+    for p in payloads:
+        out += p
+        if len(p) & 1:
+            out += b"\x00"
+    return bytes(out)
+
+
+class TestGeoTiffReaderCompat:
+    """Layouts the encoder never writes but real GeoTIFFs use: strips,
+    chunky interleave, horizontal-differencing predictor (GDAL's
+    deflate default)."""
+
+    def test_stripped_planar_deflate_predictor(self):
+        rng = np.random.default_rng(5)
+        a = rng.integers(-500, 500, size=(2, 45, 37)).astype(np.int16)
+        buf = _write_tiff(a, planar=2, compress=True, predictor=2, rps=8)
+        out, _, _, _ = decode_geotiff(buf)
+        assert np.array_equal(out, a)
+
+    def test_stripped_chunky_uncompressed(self):
+        rng = np.random.default_rng(6)
+        a = rng.integers(0, 255, size=(3, 30, 21)).astype(np.uint8)
+        buf = _write_tiff(a, planar=1, compress=False, rps=7)
+        out, _, _, _ = decode_geotiff(buf)
+        assert np.array_equal(out, a)
+
+    def test_stripped_chunky_deflate_float(self):
+        # predictor=2 is integer-only per the TIFF spec (floats use
+        # predictor 3) — float strips ship undifferenced
+        rng = np.random.default_rng(8)
+        a = rng.random((2, 19, 23)).astype(np.float64)
+        buf = _write_tiff(a, planar=1, compress=True, rps=5)
+        out, _, _, _ = decode_geotiff(buf)
+        np.testing.assert_allclose(out, a, rtol=0, atol=0)
+
+    def test_stripped_chunky_deflate_predictor_int(self):
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 60000, size=(2, 19, 23)).astype(np.uint16)
+        buf = _write_tiff(a, planar=1, compress=True, predictor=2, rps=5)
+        out, _, _, _ = decode_geotiff(buf)
+        assert np.array_equal(out, a)
+
+    def test_single_band_single_strip(self):
+        a = np.arange(12 * 9, dtype=np.int32).reshape(1, 12, 9)
+        buf = _write_tiff(a, planar=1, compress=False, rps=12)
+        out, _, _, _ = decode_geotiff(buf)
+        assert np.array_equal(out, a)

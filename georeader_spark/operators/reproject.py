@@ -149,15 +149,25 @@ def resample_tiles(
     tile: int = TILE,
     halo: int = 3,
     bool_mask: bool = False,
+    src_crs: str | None = None,
+    dst_crs: str | None = None,
 ) -> DataFrame:
     """Reproject/resample tile-blocked raster onto a destination grid
-    (same CRS; rectilinear OR rotated/sheared transforms on either
-    side — planning takes all 4 tile corners and the warp runs the full
+    (rectilinear OR rotated/sheared transforms on either side —
+    planning takes all 4 tile corners and the warp runs the full
     affines, matching the reference's non-rectilinear read path,
-    rasterio_reader.py:1370-1382 / tests/test_read_windows.py:327-478):
-    the halo-gather join + per-output-tile warp UDF. ``halo`` mirrors
-    the reference's 3-px pad (read.py:1605-1607). Output: tile-blocked
-    rows on the destination grid.
+    rasterio_reader.py:1370-1382): the halo-gather join +
+    per-output-tile warp UDF. ``halo`` mirrors the reference's 3-px
+    pad (read.py:1605-1607). Output: tile-blocked rows on the
+    destination grid.
+
+    ``src_crs``/``dst_crs`` (EPSG / PROJ.4 / WKT specs, see
+    kernels/proj) make this the full cross-CRS ``read_reproject``
+    (read.py warp path): dst pixel centers go dst-CRS world ->
+    src-CRS world via ``transform_points`` inside the warp batch, and
+    the gather plan maps dst-tile corner bounds through the same CRS
+    transform before windowing — per-pixel math stays vectorized
+    numpy, nothing per-row.
 
     ``bool_mask=True`` applies the reference's boolean-dtype rule
     (read.py:1557-1567, 1639-1669): masks are interpolated as floats
@@ -169,6 +179,15 @@ def resample_tiles(
     H_dst, W_dst = dst_shape
     n_trow = math.ceil(H_dst / tile)
     n_tcol = math.ceil(W_dst / tile)
+
+    cross_crs = (
+        src_crs is not None and dst_crs is not None
+        and str(src_crs) != str(dst_crs)
+    )
+    if cross_crs:
+        from ..kernels.proj import transform_points as _tp
+    else:
+        _tp = None
 
     # --- plan: for each dst tile, the (rounded, haloed) src window and
     # the src tile ids intersecting it; built driver-side (tile counts
@@ -187,8 +206,23 @@ def resample_tiles(
                 dst_transform * (tcol * tile, trow * tile + h),
                 dst_transform * (tcol * tile + w, trow * tile + h),
             ]
-            xs = [c[0] for c in corners]
-            ys = [c[1] for c in corners]
+            if cross_crs:
+                # corners + edge midpoints through the CRS transform:
+                # curved edges can bow outside the corner bbox
+                mids = [
+                    dst_transform * (tcol * tile + w / 2.0, trow * tile),
+                    dst_transform * (tcol * tile + w / 2.0, trow * tile + h),
+                    dst_transform * (tcol * tile, trow * tile + h / 2.0),
+                    dst_transform * (tcol * tile + w, trow * tile + h / 2.0),
+                ]
+                pts = corners + mids
+                cx, cy = _tp(
+                    [p[0] for p in pts], [p[1] for p in pts], dst_crs, src_crs
+                )
+                xs, ys = list(cx), list(cy)
+            else:
+                xs = [c[0] for c in corners]
+                ys = [c[1] for c in corners]
             bounds = (min(xs), min(ys), max(xs), max(ys))
             src_w = round_outer_window(window_from_bounds(src_transform, bounds))
             src_w = Window(
@@ -260,6 +294,10 @@ def resample_tiles(
         dt, st_inv = dst_transform, ~src_transform
         gx = dt.c + (cc + 0.5) * dt.a + (rr + 0.5) * dt.b
         gy = dt.f + (cc + 0.5) * dt.d + (rr + 0.5) * dt.e
+        if cross_crs:
+            gx, gy = _tp(gx.ravel(), gy.ravel(), dst_crs, src_crs)
+            gx = np.asarray(gx).reshape(cc.shape)
+            gy = np.asarray(gy).reshape(cc.shape)
         fc = st_inv.a * gx + st_inv.b * gy + st_inv.c - sw.col_off
         fr = st_inv.d * gx + st_inv.e * gy + st_inv.f - sw.row_off
 

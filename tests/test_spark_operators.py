@@ -400,6 +400,57 @@ class TestTileBlocked:
         expect[valid] = src_np[sr[valid], sc[valid]]
         np.testing.assert_array_equal(got[valid], expect[valid])
 
+    def test_resample_cross_crs_matches_numpy(self, spark):
+        """Cross-CRS warp (the full read_reproject, read.py warp path):
+        UTM-30N source raster resampled onto a WGS84 lat/lon grid. The
+        distributed plan/gather/assembly must match the single-array
+        numpy warp through the same proj kernel."""
+        from georeader_spark.kernels.proj import transform_points
+
+        H, W = 80, 80
+        # UTM 30N source: 1 km pixels, origin near (500 km, 4.5 Mm)
+        src_t = Affine.from_origin(460000.0, 4540000.0, 1000.0, 1000.0)
+        # WGS84 dst grid over the same area
+        dst_t = Affine.from_origin(-3.45, 41.0, 0.01, 0.008)
+        dH, dW = 40, 40
+        src = R.synth_raster(spark, 1, H, W)
+        tiles = tile_blocked_from_long(src, H, W, tile=32)
+        out = resample_tiles(
+            tiles, src_t, (H, W), dst_t, (dH, dW), method="bilinear",
+            tile=32, src_crs="EPSG:32630", dst_crs="EPSG:4326",
+        )
+        got = _long_to_np(tile_blocked_to_long(out, tile=32).collect(), dH, dW)
+
+        idx = np.arange(H * W, dtype=np.int64)
+        src_np = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        cc, rr = np.meshgrid(np.arange(dW), np.arange(dH))
+        glon = dst_t.c + (cc + 0.5) * dst_t.a
+        glat = dst_t.f + (rr + 0.5) * dst_t.e
+        gx, gy = transform_points(glon.ravel(), glat.ravel(),
+                                  "EPSG:4326", "EPSG:32630")
+        gx = np.asarray(gx).reshape(cc.shape)
+        gy = np.asarray(gy).reshape(cc.shape)
+        fc = (gx - src_t.c) / src_t.a - 0.5
+        fr = (gy - src_t.f) / src_t.e - 0.5
+        c0 = np.floor(fc).astype(int)
+        r0 = np.floor(fr).astype(int)
+        wc = fc - c0
+        wr = fr - r0
+        in_b = (c0 >= 0) & (c0 < W - 1) & (r0 >= 0) & (r0 < H - 1)
+        c0c = np.clip(c0, 0, W - 2)
+        r0c = np.clip(r0, 0, H - 2)
+        expect = (
+            src_np[r0c, c0c] * (1 - wr) * (1 - wc)
+            + src_np[r0c, c0c + 1] * (1 - wr) * wc
+            + src_np[r0c + 1, c0c] * wr * (1 - wc)
+            + src_np[r0c + 1, c0c + 1] * wr * wc
+        )
+        assert in_b.sum() > 0.5 * in_b.size
+        # rtol 1e-9: the warp computes src pixels via the inverse
+        # affine (multiply form) while the oracle divides — same
+        # algebra, last-ulp different association
+        np.testing.assert_allclose(got[in_b], expect[in_b], rtol=1e-9)
+
     def test_resample_nearest_matches_numpy(self, spark):
         H, W = 64, 64
         src_t = Affine.from_origin(0, 64, 1, 1)

@@ -3540,3 +3540,34 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 REGISTRY.update({"ann_pq_topk": (q_ann_pq_topk, None)})
+
+
+# --- cross-CRS warp (the full read_reproject; read.py warp path) -----------
+
+def q_reproject_cross_crs(spark, sf_dir):
+    """read_reproject across CRSs: UTM-30N source raster (1 km pixels)
+    warped bilinearly onto a WGS84 lat/lon destination grid through
+    resample_tiles(src_crs, dst_crs). Rows-only (the UTM inverse is an
+    iterative series, not SQL-expressible); pytest pins numpy parity
+    through the same proj kernel."""
+    from .operators.reproject import (
+        resample_tiles,
+        tile_blocked_from_long,
+        tile_blocked_to_long,
+    )
+
+    H = W = 80
+    src_t = Affine.from_origin(460000.0, 4540000.0, 1000.0, 1000.0)
+    dst_t = Affine.from_origin(-3.45, 41.0, 0.01, 0.008)
+    src = R.synth_raster(spark, 1, H, W)
+    tiles = tile_blocked_from_long(src, H, W, tile=32)
+    out = resample_tiles(
+        tiles, src_t, (H, W), dst_t, (40, 40), method="bilinear", tile=32,
+        src_crs="EPSG:32630", dst_crs="EPSG:4326",
+    )
+    return tile_blocked_to_long(out, tile=32).select(
+        "row", "col", F.round("value", 6).alias("value")
+    )
+
+
+REGISTRY.update({"raster_reproject_cross_crs": (q_reproject_cross_crs, None)})

@@ -345,6 +345,7 @@ def pq_train_codebooks(
     n_codes: int = 16,
     iters: int = 2,
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> list:
     """Per-subspace codebooks via the distributed Lloyd loop: each
     subspace trains on the corresponding slice of the (normalized)
@@ -353,8 +354,9 @@ def pq_train_codebooks(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
     sub = dim // m_subspaces
+    v = F.col(vec_col).cast("array<double>")
     norm = vectors.select(
-        _l2_normalize_col(F.col(vec_col).cast("array<double>")).alias("_v")
+        (_l2_normalize_col(v) if normalize else v).alias("_v")
     )
     books = []
     for s in range(m_subspaces):
@@ -368,6 +370,8 @@ def pq_encode(
     codebooks: list,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Vectors -> (vec_id, codes array<int>) via one Arrow batch pass:
     per subspace, argmin L2 to the 16/256 codebook rows (a single
@@ -382,7 +386,8 @@ def pq_encode(
     @F.pandas_udf("array<int>")
     def codes_udf(emb: pd.Series) -> pd.Series:
         X = np.asarray(list(emb), dtype=np.float64)
-        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        if normalize:
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
         out = np.empty((X.shape[0], m), dtype=np.int32)
         for s in range(m):
             Xs = X[:, s * sub : (s + 1) * sub]
@@ -392,7 +397,8 @@ def pq_encode(
         return pd.Series(list(out))
 
     return vectors.select(
-        vec_id, codes_udf(F.col(vec_col).cast("array<double>")).alias("codes")
+        vec_id, *extra_cols,
+        codes_udf(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
 
@@ -472,3 +478,135 @@ def ann_topk_pq(
         .select(q_id, vec_id, "rank", F.round("sim", 6).alias("sim"))
     )
     return refined
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale index (FAISS IVFPQ shape, Jegou
+# 2011 §IV): coarse quantizer routes each vector to a list, PQ encodes
+# the RESIDUAL (v - centroid), search probes n_probe lists with a
+# per-(query, list) residual LUT. Storage per vector: list_id + m
+# codes; the float vectors are only read for the exact top-R refine.
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train coarse centroids + residual codebooks and encode the
+    corpus: returns (cents, codebooks, codes_df) where codes_df is
+    (vec_id, list_id, codes)."""
+    norm = vectors.select(
+        vec_id, _l2_normalize_col(F.col(vec_col).cast("array<double>")).alias("_v")
+    )
+    cents = ivf_train_centroids(norm, n_lists=n_lists, iters=iters, vec_col="_v")
+    assigned = assign_ivf_list(norm, cents, vec_col="_v")
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    resid = assigned.withColumn(
+        "_r",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_arr, F.col("list_id") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_train_codebooks(
+        resid.select(F.col("_r").alias("embedding")),
+        m_subspaces=m_subspaces, n_codes=n_codes, iters=iters,
+        normalize=False,
+    )
+    codes = pq_encode(
+        resid.select(vec_id, "list_id", F.col("_r").alias("embedding")),
+        books, vec_id=vec_id, normalize=False, extra_cols=("list_id",),
+    )
+    return cents, books, codes
+
+
+def ann_topk_ivfpq(
+    vectors: DataFrame,
+    codes: DataFrame,
+    cents: list,
+    codebooks: list,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+    q_vec: str = "q_embedding",
+) -> DataFrame:
+    """IVF-PQ search: per query, the n_probe nearest lists and one
+    residual LUT per probed list (|Q| * n_probe * m * n_codes doubles —
+    driver-side tiny, broadcast); candidates come from an equi-join of
+    the codes table on list_id (only probed lists are touched), the
+    approximate distance is the m-term LUT sum, and the top
+    refine_factor*k candidates per query are exactly refined (cosine)
+    against the original vectors."""
+    import numpy as np
+
+    m = len(codebooks)
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = cb[0].shape[1]
+    cent_np = np.asarray(cents, dtype=np.float64)
+    qrows = queries.select(q_id, q_vec).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[q_vec], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        # nearest lists by L2 on the normalized sphere
+        d2 = ((cent_np - qv[None, :]) ** 2).sum(axis=1)
+        probes = np.argsort(d2)[:n_probe]
+        for li in probes:
+            rq = qv - cent_np[li]
+            luts = []
+            for s in range(m):
+                rs = rq[s * sub : (s + 1) * sub]
+                luts.append([float(x) for x in ((cb[s] - rs[None, :]) ** 2).sum(axis=1)])
+            lut_rows.append((int(r[q_id]), int(li), luts))
+    spark = vectors.sparkSession
+    lut_df = F.broadcast(spark.createDataFrame(
+        lut_rows, f"{q_id} int, list_id int, lut array<array<double>>"
+    ))
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.join(lut_df, "list_id")
+        .withColumn("adc", adc)
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(vec_id).asc())
+            ),
+        )
+        .where(F.col("_rank") <= refine_factor * k)
+        .select(q_id, vec_id)
+    )
+    return (
+        cand.join(vectors.select(vec_id, vec_col), vec_id)
+        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
+        .withColumn(
+            "sim",
+            cosine_similarity_col(
+                F.col(vec_col).cast("array<double>"),
+                F.col(q_vec).cast("array<double>"),
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(vec_id).asc())
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select(q_id, vec_id, "rank", F.round("sim", 6).alias("sim"))
+    )

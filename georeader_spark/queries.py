@@ -3571,3 +3571,29 @@ def q_reproject_cross_crs(spark, sf_dir):
 
 
 REGISTRY.update({"raster_reproject_cross_crs": (q_reproject_cross_crs, None)})
+
+
+# --- IVF-PQ composed index (FAISS IVFPQ shape; Jegou 2011 §IV) -------------
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k: coarse quantizer routes vectors to
+    lists, PQ encodes the residual (v - centroid), search probes the 4
+    nearest lists with per-(query, list) residual LUTs and exactly
+    refines the top candidates. Storage per vector: list_id + 8 codes.
+    Rows-only (two k-means trainings); pytest pins recall and
+    self-match exactness."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents, books, codes = S.ivfpq_build(
+        vecs, n_lists=8, m_subspaces=8, n_codes=16, iters=2
+    )
+    return S.ann_topk_ivfpq(
+        vecs, codes, cents, books, queries, k=5, n_probe=4, refine_factor=10
+    )
+
+
+REGISTRY.update({"ann_ivfpq_topk": (q_ann_ivfpq_topk, None)})

@@ -657,6 +657,34 @@ class TestDedupSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.6, recall
 
+    def test_ann_ivfpq_recall_and_selfmatch(self, spark, sf_dir):
+        """Composed IVF-PQ: residual encoding + probed-list ADC search.
+        Recall is bounded by the IVF probe recall (same 4-of-8 lists as
+        the IVF test); every query still finds itself at rank 1."""
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        queries = vecs.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+        cents, books, codes = S.ivfpq_build(
+            vecs, n_lists=8, m_subspaces=8, n_codes=16, iters=2
+        )
+        assert codes.columns == ["vec_id", "list_id", "codes"]
+        out = S.ann_topk_ivfpq(
+            vecs, codes, cents, books, queries, k=5, n_probe=4,
+            refine_factor=10,
+        ).collect()
+        top1 = {r["q_id"]: (r["vec_id"], r["sim"]) for r in out if r["rank"] == 1}
+        for q, (v, sim) in top1.items():
+            assert v == q and abs(sim - 1.0) < 1e-9
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in S.cosine_topk_bruteforce(vecs, queries, 5).collect()
+        }
+        approx = {(r["q_id"], r["vec_id"]) for r in out}
+        assert len(exact & approx) / len(exact) >= 0.5
+
     def test_ann_ivf_full_probe_is_exact(self, spark, sf_dir):
         """Probing every list degenerates IVF to brute force."""
         vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(

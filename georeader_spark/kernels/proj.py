@@ -615,9 +615,52 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
     if proj == "longlat":
         return "geographic", {}
     if proj == "merc":
+        # webmerc is SPHERICAL mercator: accept the sphere forms
+        # (+a==+b / +R) and the bare "+proj=merc"; an explicit
+        # ellipsoid/datum means ELLIPSOIDAL Mercator (EPSG:3395-style)
+        # — km-scale different, unimplemented, so raise rather than
+        # silently returning sphere coordinates (ADVICE r3).
+        spherical = (
+            ("R" in kv)
+            or ("a" in kv and kv.get("b", kv["a"]) == kv["a"])
+            or not ({"ellps", "datum", "a", "b"} & kv.keys())
+        )
+        if not spherical:
+            raise ValueError(
+                f"ellipsoidal +proj=merc not supported (spherical/web "
+                f"mercator only): {s!r}"
+            )
         return "webmerc", {}
     if proj == "utm":
-        return "utm", {"zone": int(kv["zone"]), "south": "south" in kv}
+        zone, south = int(kv["zone"]), "south" in kv
+        ellps = kv.get("ellps")
+        if ellps is None:
+            datum = kv.get("datum", "WGS84").upper()
+            ellps = {"WGS84": "WGS84", "NAD83": "GRS80",
+                     "ETRS89": "GRS80"}.get(datum, datum)
+        ellps = _PROJ4_ELLPS.get(ellps.upper(), ellps.upper()
+                                 if ellps.upper() in ("WGS84", "GRS80",
+                                                      "AIRY1830", "INTL1924")
+                                 else None)
+        if ellps is None:
+            raise ValueError(f"unsupported ellipsoid in {s!r}")
+        if ellps == "WGS84" and "towgs84" not in kv:
+            return "utm", {"zone": zone, "south": south}
+        # non-WGS84 UTM (e.g. ED50 "+proj=utm +ellps=intl +towgs84=...")
+        # is NOT WGS84 UTM — ~100-200 m off (ADVICE r3). Route through
+        # the general TM family with the UTM constants, honoring the
+        # ellipsoid and any datum shift.
+        p = {"ellps": ellps, "lat_0": 0.0, "lon_0": zone * 6.0 - 183.0,
+             "k_0": 0.9996, "x_0": 500000.0,
+             "y_0": 10000000.0 if south else 0.0}
+        if "towgs84" in kv:
+            t = [float(v) for v in kv["towgs84"].split(",")]
+            if len(t) == 3:
+                t += [0.0, 0.0, 0.0, 0.0]
+            if len(t) != 7:
+                raise ValueError(f"towgs84 needs 3 or 7 params: {s!r}")
+            p["towgs84"] = tuple(t)
+        return "tm", p
     if proj == "sinu":
         p = {"lon_0": float(kv.get("lon_0", 0.0)),
              "x_0": float(kv.get("x_0", 0.0)),

@@ -112,7 +112,11 @@ def geotiff_to_long(
                 vals = arr.ravel().astype(np.float64)
                 keep = slice(None)
                 if drop_nodata and nodata is not None:
-                    keep = vals != nodata
+                    # NaN != NaN is elementwise True, so a NaN-fill
+                    # raster would keep every fill pixel (ADVICE r3)
+                    keep = (
+                        ~np.isnan(vals) if np.isnan(nodata) else vals != nodata
+                    )
                 outs.append(
                     pd.DataFrame(
                         {

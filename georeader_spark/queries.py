@@ -3266,7 +3266,7 @@ def _skew_fixture(spark, sf_dir, amplify: int = 8, payload: bool = False):
 
 
 def skew_join_agg(spark, sf_dir, amplify: int = 8, payload: bool = False,
-                  salted: bool = True, n_salts: int = 32, facts_df=None,
+                  salted: bool = True, n_salts: int = None, facts_df=None,
                   hot_keys=None):
     """Per-cell aggregate over the skewed fact ⋈ dim join — salted
     (plans/lineage.salted_join) or the naive control. hot_threshold
@@ -3305,8 +3305,10 @@ def q_skew_salted_join(spark, sf_dir):
     """THE skew demonstration (SURVEY §7.1 step 6, judge r2 item 10):
     equi-join of a skewed fact table (50% of rows on one hot cell)
     against a per-cell dim through plans/lineage.salted_join — hot
-    facts get salt = hash(id) % 32, hot dim rows replicate across the
-    32 sub-keys, the join runs on (cell, salt). Exact: every fact row
+    facts get salt = hash(id) % n_salts, hot dim rows replicate across
+    the sub-keys, the join runs on (cell, salt). n_salts adapts to the
+    runtime (defaultParallelism / n_hot_keys — a constant 32 over-salted
+    local[2] by 1.8x in round 3). Exact: every fact row
     still meets exactly its cell's dim rows; the oracle is the direct
     unsalted SQL join. bench.py times this query with broadcast
     joins DISABLED + AQE off at local[8] vs local[32], next to the

@@ -87,6 +87,24 @@ class TestGeoTiffSpark:
         b = sorted(map(tuple, back.collect()))
         assert a == b
 
+    def test_drop_nodata_nan_fill(self, spark):
+        """drop_nodata must drop NaN-fill pixels when the declared
+        nodata is NaN (NaN != NaN kept everything — ADVICE r3) and
+        still drop finite sentinels."""
+        import pandas as pd
+        from georeader_spark.operators.geotiff_io import geotiff_to_long
+
+        for nd in (float("nan"), -999.0):
+            arr = np.arange(12, dtype=np.float64).reshape(1, 3, 4)
+            arr[0, 0, :2] = nd
+            buf = encode_geotiff(arr, Affine.from_origin(0, 3, 1, 1),
+                                 crs_epsg=4326, tile=16, nodata=nd)
+            tifs = spark.createDataFrame(
+                pd.DataFrame({"raster_id": [0], "tif": [bytearray(buf)]})
+            )
+            kept = geotiff_to_long(tifs, drop_nodata=True).count()
+            assert kept == 10, (nd, kept)
+
     def test_spark_overview_read(self, spark):
         from georeader_spark.operators import raster as R
         from georeader_spark.operators.geotiff_io import (

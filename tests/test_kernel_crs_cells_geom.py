@@ -388,6 +388,39 @@ class TestProjGeneral:
         with pytest.raises(ValueError):
             P.parse_proj4("+proj=omerc +lat_0=4")  # unsupported family
 
+    def test_proj4_utm_nonwgs84_and_merc_ellipsoid(self):
+        """ADVICE r3: '+proj=utm' with a non-WGS84 ellipsoid must NOT be
+        treated as WGS84 UTM (ED50 is ~100-200 m off) — it routes
+        through the general TM family honoring ellps+towgs84 and
+        matches the EPSG:23030 registry entry bit-for-bit; ellipsoidal
+        '+proj=merc' raises instead of silently mapping to the sphere,
+        while the spherical (+a=+b) form still resolves to webmerc."""
+        import numpy as np
+        from georeader_spark.kernels import proj as P
+
+        lon = np.array([-3.7, -0.5, 2.2])
+        lat = np.array([40.4, 42.0, 41.4])
+        ed50 = "+proj=utm +zone=30 +ellps=intl +towgs84=-87,-98,-121"
+        x1, y1 = P.from_wgs84(lon, lat, ed50)
+        x2, y2 = P.from_wgs84(lon, lat, "EPSG:23030")
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+        # and it is genuinely NOT WGS84 UTM (silent-WGS84 was the bug)
+        xw, _ = P.from_wgs84(lon, lat, "EPSG:32630")
+        assert float(np.abs(x1 - xw).min()) > 50.0
+        # ETRS89 UTM (GRS80, no shift) routes through tm and agrees
+        # with the EPSG:25832 registry family to numerical precision
+        x3, y3 = P.from_wgs84(lon, lat, "+proj=utm +zone=32 +ellps=GRS80")
+        x4, y4 = P.from_wgs84(lon, lat, "EPSG:25832")
+        np.testing.assert_allclose(x3, x4, atol=1e-6)
+        np.testing.assert_allclose(y3, y4, atol=1e-6)
+        with pytest.raises(ValueError, match="merc"):
+            P.parse_proj4("+proj=merc +ellps=WGS84")
+        fam, _ = P.parse_proj4(
+            "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0")
+        assert fam == "webmerc"
+        assert P.parse_proj4("+proj=utm +zone=30 +datum=WGS84")[0] == "utm"
+
     def test_wkt_strings_and_modis_sinusoidal(self):
         """WKT1 CRS specs + the MODIS sinusoidal grid: the parser must
         route to the same kernels as EPSG/proj4, and sinusoidal must

@@ -480,3 +480,35 @@ class TestSaltedJoinHotKeys:
             spark, sf_dir, salted=True, hot_keys=[0]).collect()))
         c = sorted(map(tuple, skew_join_agg(spark, sf_dir, salted=False).collect()))
         assert a == b == c
+
+    def test_outer_joins_rejected(self, spark):
+        """Dim replication across salts would surface unmatched hot dim
+        rows once per salt under right/full outer (ADVICE r3) — raise."""
+        from georeader_spark.plans.lineage import salted_join
+
+        df = spark.range(10).select(F.col("id").alias("cell"), F.col("id").alias("fact_id"))
+        dim = spark.range(10).select(F.col("id").alias("cell"))
+        for how in ("right", "full", "left_anti"):
+            with pytest.raises(ValueError, match="inner"):
+                salted_join(df, dim, "cell", hot_threshold=1, how=how)
+
+    def test_adaptive_salt_degree_and_cold_fastpath(self, spark, sf_dir):
+        """n_salts=None adapts to parallelism/hot-key count; with no
+        hot key at all the join degenerates to the plain equi-join
+        (no salt column in the output)."""
+        from georeader_spark.plans.lineage import salted_join
+        from georeader_spark.queries import _skew_fixture
+
+        facts, dim = _skew_fixture(spark, sf_dir, amplify=1)
+        # threshold above every count -> no hot keys -> plain join
+        total = facts.count()
+        out = salted_join(facts, dim, "cell", hot_threshold=total + 1)
+        assert "salt" not in out.columns
+        assert out.count() == total
+        # adaptive degree: one hot key -> n_salts == defaultParallelism,
+        # same rows as the unsalted join
+        exact = sorted(map(tuple, facts.join(dim, "cell").drop("salt").collect()))
+        got = sorted(map(tuple, salted_join(
+            facts, dim, "cell", hot_threshold=2000, id_col="fact_id"
+        ).drop("salt").collect()))
+        assert got == exact

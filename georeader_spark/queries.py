@@ -3833,3 +3833,139 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 
 
 REGISTRY.update({"ann_ivfpq_topk": (q_ann_ivfpq_topk, None)})
+
+
+# ===========================================================================
+# REGISTRY CONSOLIDATION (round 4). Three rows-only entries became
+# oracle-gated this round (geo_transform_crs, raster_reproject_cross_crs,
+# raster_polygonize) and pages_url_stats sat at slot 51 (ADVICE r3), so
+# four double-covered pairs merge into tagged unions — every constituent
+# operator still executes inside its combined query; COVERAGE.md maps
+# operator -> query. Result: exactly 50 oracle-gated entries, all inside
+# the driver's 50-slot checked prefix; rows-only entries follow.
+# ===========================================================================
+
+
+def q_knn_both(spark, sf_dir):
+    """Exact kNN through BOTH implementations — the brute-force
+    two-phase partial rank baseline and the cell-bucketed ring
+    expansion (guaranteed exact by the ring distance bound) — tagged
+    and unioned against one oracle (the ring impl must equal brute)."""
+    a = q_knn_bruteforce(spark, sf_dir).select(
+        F.lit("brute").alias("impl"), "q_id", "point_id", "rank"
+    )
+    b = q_knn_ring(spark, sf_dir).select(
+        F.lit("ring").alias("impl"), "q_id", "point_id", "rank"
+    )
+    return a.unionByName(b)
+
+
+Q_KNN_BOTH_SQL = f"""
+SELECT i.impl, k.q_id, k.point_id, k.rank
+FROM ({Q_KNN_SQL}) k
+CROSS JOIN (SELECT unnest(['brute', 'ring']) AS impl) i
+"""
+
+
+def q_cell_stats(spark, sf_dir):
+    """Per-cell counts at CELL_R + hierarchical rollup to ROLLUP_R
+    (cell_to_parent analog) as one tagged union."""
+    a = q_cell_count(spark, sf_dir).select(
+        F.lit("cell").alias("part"), F.col("cell").alias("k"), "n"
+    )
+    b = q_cell_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("part"), F.col("cell_parent").alias("k"), "n"
+    )
+    return a.unionByName(b)
+
+
+Q_CELL_STATS_SQL = f"""
+SELECT 'cell' AS part, cell AS k, n FROM ({Q_CELL_COUNT_SQL}) c
+UNION ALL
+SELECT 'rollup' AS part, cell_parent AS k, n FROM ({Q_CELL_ROLLUP_SQL}) r
+"""
+
+
+def q_pip_all(spark, sf_dir):
+    """PIP join through BOTH refine paths (Arrow winding-number UDF +
+    JVM half-plane exprs) as tagged row unions, plus the per-polygon
+    count aggregate — one gated query for the whole pip_join surface."""
+    rows = q_pip_rows_both(spark, sf_dir).select(
+        "impl", F.col("event_id").alias("a"), F.col("poly_id").cast("long").alias("b")
+    )
+    counts = q_pip_count(spark, sf_dir).select(
+        F.lit("count").alias("impl"),
+        F.col("poly_id").cast("long").alias("a"),
+        F.col("n").alias("b"),
+    )
+    return rows.unionByName(counts)
+
+
+Q_PIP_ALL_SQL = _pip_sql_body() + """
+SELECT i.impl, CAST(m.event_id AS BIGINT) AS a, CAST(m.poly_id AS BIGINT) AS b
+FROM matches m CROSS JOIN (SELECT unnest(['udf', 'exprs']) AS impl) i
+UNION ALL
+SELECT 'count' AS impl, CAST(poly_id AS BIGINT) AS a, COUNT(*) AS b
+FROM matches GROUP BY poly_id
+"""
+
+
+def q_srf_all(spark, sf_dir):
+    """SRF surface in one query: Gaussian weight construction
+    (reflectance.py:490) keyed by wavelength + hyperspectral->multi
+    band integration (transform_to_srf) keyed by (row,col,band)."""
+    w = q_srf_weights(spark, sf_dir).select(
+        F.lit("weights").alias("part"),
+        F.col("wavelength").cast("string").alias("k"),
+        F.col("w_red").alias("v1"), F.col("w_nir").alias("v2"),
+    )
+    integ = q_srf_integration(spark, sf_dir).select(
+        F.lit("integration").alias("part"),
+        F.concat_ws(",", F.col("row"), F.col("col"), F.col("dst_band")).alias("k"),
+        F.col("value").alias("v1"), F.lit(0.0).alias("v2"),
+    )
+    return w.unionByName(integ)
+
+
+Q_SRF_ALL_SQL = f"""
+SELECT 'weights' AS part, CAST(wavelength AS VARCHAR) AS k,
+       w_red AS v1, w_nir AS v2
+FROM ({Q_SRF_WEIGHTS_SQL}) w
+UNION ALL
+SELECT 'integration' AS part,
+       CAST(row AS VARCHAR) || ',' || CAST(col AS VARCHAR) || ',' || dst_band AS k,
+       value AS v1, 0.0 AS v2
+FROM ({_srf_integration_sql()}) s
+"""
+
+
+_CONSOLIDATED_AWAY_R4 = [
+    # -> geo_knn
+    "geo_knn_bruteforce", "geo_knn_ring",
+    # -> geo_cell_stats
+    "geo_cell_count", "geo_cell_rollup",
+    # -> geo_pip_rows (now also carries the count aggregate)
+    "geo_pip_count",
+    # -> raster_srf
+    "srf_weights", "raster_srf_integration",
+]
+for _n in _CONSOLIDATED_AWAY_R4:
+    del REGISTRY[_n]
+del REGISTRY["geo_pip_rows"]
+REGISTRY.update(
+    {
+        "geo_knn": (q_knn_both, Q_KNN_BOTH_SQL),
+        "geo_cell_stats": (q_cell_stats, Q_CELL_STATS_SQL),
+        "geo_pip_rows": (q_pip_all, Q_PIP_ALL_SQL),
+        "raster_srf": (q_srf_all, Q_SRF_ALL_SQL),
+    }
+)
+_oracle_gated = {n: v for n, v in REGISTRY.items() if v[1] is not None}
+_rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}
+assert len(_oracle_gated) == 50, (
+    f"driver checks exactly the first 50 entries; oracle-gated count is "
+    f"{len(_oracle_gated)} — reconsolidate"
+)
+REGISTRY.clear()
+REGISTRY.update(_oracle_gated)
+REGISTRY.update(_rows_only)

@@ -35,11 +35,9 @@ BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
 
 #: headline queries (subset of the registry: one per operator family)
 HEADLINE = [
-    "geo_cell_count",
-    "geo_cell_rollup",
+    "geo_cell_stats",
     "geo_pip_rows",
-    "geo_knn_bruteforce",
-    "geo_knn_ring",
+    "geo_knn",
     "geo_tile_assign",
     "geo_xyz_tiles",
     "geo_solarday_utm",
@@ -79,7 +77,7 @@ def run_headline(spark, sf_dir: str) -> dict:
 
     # warmup: run the first query once untimed so session/JIT/codegen
     # warmup doesn't pollute its per-query number (round-1 methodology
-    # fix: geo_cell_count showed 9.4s of which ~8s was warmup)
+    # fix: the cell-stats query showed 9.4s of which ~8s was warmup)
     warm_fn, _ = REGISTRY[HEADLINE[0]]
     warm_fn(spark, sf_dir).count()
 

@@ -8,9 +8,10 @@ as a partitioned table plus a ``lineage`` record
 Resume = skip stages whose lineage row is COMPLETE with a matching
 input fingerprint; partial re-run = anti-join completed partition keys.
 
-Storage: parquet directories in this sandbox; the layout is 1:1 with
-an Iceberg snapshot-per-stage catalog (swap ``_write``/``_read`` for
-``writeTo(...).append()`` on a real cluster — noted inline).
+Storage: parquet directories in this sandbox; ``format="iceberg"``
+commits each stage as an Iceberg table via ``writeTo(...)`` when the
+session has an Iceberg catalog configured (parquet fallback otherwise
+— see ``StageStore._write``).
 """
 
 from __future__ import annotations
@@ -25,14 +26,65 @@ from pyspark.sql import functions as F
 
 
 class StageStore:
-    """Directory-backed stage checkpoint store with lineage records."""
+    """Stage checkpoint store with lineage records.
 
-    def __init__(self, root: str):
+    ``format="parquet"`` (default) checkpoints each stage as a parquet
+    directory under ``root`` — the sandbox path. ``format="iceberg"``
+    is the production path: each stage commits as an Iceberg table
+    ``<catalog>.<namespace>.<stage>`` via the DataFrameWriterV2 API
+    (``writeTo(...).createOrReplace()`` — snapshot-isolated commit, so
+    the table IS the commit point and the JSON lineage record is
+    auxiliary metrics). If the named catalog is not configured on the
+    session (``spark.sql.catalog.<catalog>`` unset — e.g. this sandbox,
+    which has no Iceberg runtime jar), the store falls back to parquet
+    and records ``storage="parquet-fallback"`` in the lineage row, so
+    callers can assert which path ran.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        format: str = "parquet",
+        catalog: str = "spark_catalog",
+        namespace: str = "pipeline",
+    ):
+        if format not in ("parquet", "iceberg"):
+            raise ValueError(f"format must be 'parquet'|'iceberg', got {format!r}")
         self.root = root
+        self.format = format
+        self.catalog = catalog
+        self.namespace = namespace
         os.makedirs(root, exist_ok=True)
 
     def _stage_path(self, stage: str) -> str:
         return os.path.join(self.root, f"stage={stage}")
+
+    def _table_ident(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def _iceberg_available(self, spark: SparkSession) -> bool:
+        if self.format != "iceberg":
+            return False
+        impl = spark.conf.get(f"spark.sql.catalog.{self.catalog}", None)
+        return impl is not None and "iceberg" in impl.lower()
+
+    def _write(self, df: DataFrame, stage: str) -> str:
+        """Commit a stage's output; returns the storage kind used."""
+        spark = df.sparkSession
+        if self._iceberg_available(spark):
+            # Snapshot commit: readers see either the old snapshot or
+            # the new one, never a partial directory.
+            df.writeTo(self._table_ident(stage)).using("iceberg").createOrReplace()
+            return "iceberg"
+        df.write.mode("overwrite").parquet(self._stage_path(stage))
+        return "parquet-fallback" if self.format == "iceberg" else "parquet"
+
+    def _read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self._iceberg_available(spark) and spark.catalog.tableExists(
+            self._table_ident(stage)
+        ):
+            return spark.read.table(self._table_ident(stage))
+        return spark.read.parquet(self._stage_path(stage))
 
     def _lineage_path(self, stage: str) -> str:
         return os.path.join(self.root, f"lineage_{stage}.json")
@@ -70,15 +122,13 @@ class StageStore:
         and the lineage record is written last (write-ordering makes
         the record the commit point, like an Iceberg snapshot commit).
         """
-        path = self._stage_path(stage)
         if self.is_complete(stage, input_fingerprint):
-            return spark.read.parquet(path)
+            return self._read(spark, stage)
 
         t0 = time.time()
         df = compute()
-        # On a real cluster: df.writeTo(f"catalog.pipeline.{stage}").createOrReplace()
-        df.write.mode("overwrite").parquet(path)
-        out = spark.read.parquet(path)
+        storage = self._write(df, stage)
+        out = self._read(spark, stage)
 
         row_count = out.count()
         metrics: dict = {
@@ -86,6 +136,7 @@ class StageStore:
             "input_fingerprint": input_fingerprint,
             "row_count": row_count,
             "elapsed_s": round(time.time() - t0, 3),
+            "storage": storage,
             "status": "COMPLETE",
         }
         if cell_col is not None and cell_col in out.columns:

@@ -140,6 +140,77 @@ class TestLineage:
         hottest = max(rec["hottest_cells"].values())
         assert hottest > 50  # ~4% of rows in one r=7 cell
 
+    def test_iceberg_format_falls_back_without_catalog(self, spark, tmp_path):
+        """format='iceberg' on a session without an Iceberg catalog
+        takes the parquet fallback and records it in the lineage row;
+        resume still works across the fallback."""
+        import pytest
+
+        from georeader_spark.plans.lineage import StageStore
+
+        store = StageStore(
+            str(tmp_path / "ckpt_ice"), format="iceberg", catalog="lake"
+        )
+        assert spark.conf.get("spark.sql.catalog.lake", None) is None
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return pages(spark, 100).select("url", "lang")
+
+        df1 = store.run_stage(spark, "extract", "fp1", compute)
+        assert df1.count() == 100
+        rec = store.lineage("extract")
+        assert rec["storage"] == "parquet-fallback"
+        # resume path reads the fallback parquet back
+        df2 = store.run_stage(spark, "extract", "fp1", compute)
+        assert df2.count() == 100 and len(calls) == 1
+
+        with pytest.raises(ValueError, match="format"):
+            StageStore(str(tmp_path / "bad"), format="orc")
+
+    def test_iceberg_branch_routing(self, spark, tmp_path, monkeypatch):
+        """When the catalog IS configured as Iceberg, _write routes to
+        writeTo(...).using('iceberg').createOrReplace(). The sandbox
+        has no Iceberg jar, so exercise the routing with the catalog
+        conf set and the writer intercepted — the decision logic and
+        table identifier are the code under test."""
+        from georeader_spark.plans.lineage import StageStore
+
+        store = StageStore(
+            str(tmp_path / "ckpt_ice2"), format="iceberg", catalog="lake",
+            namespace="pipe",
+        )
+        spark.conf.set(
+            "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        try:
+            assert store._iceberg_available(spark)
+            assert store._table_ident("extract") == "lake.pipe.extract"
+            seen = {}
+
+            class FakeWriter:
+                def using(self, fmt):
+                    seen["using"] = fmt
+                    return self
+
+                def createOrReplace(self):
+                    seen["committed"] = True
+
+            df = pages(spark, 10).select("url")
+            monkeypatch.setattr(
+                type(df), "writeTo", lambda self, ident: seen.setdefault(
+                    "ident", ident
+                ) and None or FakeWriter(),
+            )
+            assert store._write(df, "extract") == "iceberg"
+            assert seen == {
+                "ident": "lake.pipe.extract", "using": "iceberg",
+                "committed": True,
+            }
+        finally:
+            spark.conf.unset("spark.sql.catalog.lake")
+
 
 class TestSalting:
     def test_salt_spreads_hot_keys(self, spark):

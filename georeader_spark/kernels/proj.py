@@ -42,6 +42,10 @@ ELLIPSOIDS = {
     "AIRYMOD": (6377340.189, 1.0 / 299.3249646),
     "INTL1924": (6378388.0, 1.0 / 297.0),
     "BESSEL1841": (6377397.155, 1.0 / 299.1528128),
+    # classic NTv2 source datums: NAD27 (Clarke 1866), AGD66/AGD84
+    # (Australian National Spheroid)
+    "CLRK66": (6378206.4, 1.0 / 294.978698213898),
+    "AUSTSA": (6378160.0, 1.0 / 298.25),
 }
 
 
@@ -800,6 +804,7 @@ _PROJ4_ELLPS = {
     "WGS84": "WGS84", "GRS80": "GRS80",
     "AIRY": "AIRY1830", "MOD_AIRY": "AIRYMOD",
     "INTL": "INTL1924", "BESSEL": "BESSEL1841",
+    "CLRK66": "CLRK66", "AUST_SA": "AUSTSA",
 }
 
 _PROJ4_FAMILY = {"lcc": "lcc2sp", "aea": "albers", "laea": "laea",
@@ -835,7 +840,25 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
                       "k_0": 0.994, "lon_0": 0.0,
                       "x_0": 2000000.0, "y_0": 2000000.0}
     if proj == "longlat":
-        return "geographic", {}
+        # non-WGS84 geographic CRS: carry the datum so to/from_wgs84
+        # applies the shift (grid-shift wins over towgs84, as in PROJ)
+        p = {}
+        if "nadgrids" in kv:
+            p["nadgrids"] = kv["nadgrids"]
+        if "towgs84" in kv:
+            t = [float(v) for v in kv["towgs84"].split(",")]
+            if len(t) == 3:
+                t += [0.0, 0.0, 0.0, 0.0]
+            if len(t) != 7:
+                raise ValueError(f"towgs84 needs 3 or 7 params: {s!r}")
+            if any(t):
+                ell = _PROJ4_ELLPS.get(
+                    kv.get("ellps", kv.get("datum", "WGS84")).upper())
+                if ell is None:
+                    raise ValueError(f"unsupported ellipsoid in {s!r}")
+                p["ellps"] = ell
+                p["towgs84"] = tuple(t)
+        return "geographic", p
     if proj == "merc":
         # webmerc is SPHERICAL mercator: accept the sphere forms
         # (+a==+b / +R) and the bare "+proj=merc"; an explicit
@@ -866,7 +889,7 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
                                  else None)
         if ellps is None:
             raise ValueError(f"unsupported ellipsoid in {s!r}")
-        if ellps == "WGS84" and "towgs84" not in kv:
+        if ellps == "WGS84" and "towgs84" not in kv and "nadgrids" not in kv:
             return "utm", {"zone": zone, "south": south}
         # non-WGS84 UTM (e.g. ED50 "+proj=utm +ellps=intl +towgs84=...")
         # is NOT WGS84 UTM — ~100-200 m off (ADVICE r3). Route through
@@ -882,6 +905,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
             if len(t) != 7:
                 raise ValueError(f"towgs84 needs 3 or 7 params: {s!r}")
             p["towgs84"] = tuple(t)
+        if "nadgrids" in kv:
+            p["nadgrids"] = kv["nadgrids"]
         return "tm", p
     if proj == "sinu":
         p = {"lon_0": float(kv.get("lon_0", 0.0)),
@@ -901,8 +926,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
     ellps = kv.get("ellps")
     if ellps is None:
         datum = kv.get("datum", "WGS84").upper()
-        ellps = {"WGS84": "WGS84", "NAD83": "GRS80", "ETRS89": "GRS80"}.get(
-            datum, "WGS84")
+        ellps = {"WGS84": "WGS84", "NAD83": "GRS80", "ETRS89": "GRS80",
+                 "NAD27": "CLRK66"}.get(datum, "WGS84")
     ellps = _PROJ4_ELLPS.get(ellps.upper())
     if ellps is None:
         raise ValueError(f"unsupported ellipsoid in {s!r}")
@@ -918,6 +943,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
         if len(t) != 7:
             raise ValueError(f"towgs84 needs 3 or 7 params: {s!r}")
         p["towgs84"] = tuple(t)
+    if "nadgrids" in kv:
+        p["nadgrids"] = kv["nadgrids"]
     if proj in ("lcc", "aea"):
         p["lat_1"] = float(kv["lat_1"])
         p["lat_2"] = float(kv.get("lat_2", kv["lat_1"]))
@@ -1080,28 +1107,76 @@ def _epsg_code(crs: str) -> int:
     raise ValueError(f"unsupported CRS spec {crs!r} (EPSG:<code> expected)")
 
 
+def _load_nadgrids(spec: str):
+    """Resolve a PROJ-style ``+nadgrids=`` value: comma-separated
+    candidates, ``@`` marks optional, ``null`` means identity.  First
+    loadable grid wins; returns None for identity."""
+    from . import ntv2 as _ntv2
+    last_err = None
+    for entry in str(spec).split(","):
+        entry = entry.strip()
+        optional = entry.startswith("@")
+        if optional:
+            entry = entry[1:]
+        if entry == "null":
+            return None
+        try:
+            return _ntv2.load_grid(entry)
+        except (OSError, ValueError) as e:
+            last_err = e
+            if not optional:
+                raise ValueError(
+                    f"nadgrids: cannot load required grid {entry!r}: {e}")
+    raise ValueError(f"nadgrids: no loadable grid in {spec!r}: {last_err}")
+
+
+def _datum_shift_to_wgs84(lon, lat, p: dict):
+    """Source-datum geographic -> WGS84: grid shift wins over
+    Helmert when both are present (PROJ precedence)."""
+    if "nadgrids" in p:
+        from . import ntv2 as _ntv2
+        grids = _load_nadgrids(p["nadgrids"])
+        if grids is None:
+            return lon, lat
+        return _ntv2.ntv2_forward(lon, lat, grids)
+    if "towgs84" in p:
+        return datum_to_wgs84(lon, lat, p["ellps"], p["towgs84"])
+    return lon, lat
+
+
+def _datum_shift_from_wgs84(lon, lat, p: dict):
+    if "nadgrids" in p:
+        from . import ntv2 as _ntv2
+        grids = _load_nadgrids(p["nadgrids"])
+        if grids is None:
+            return lon, lat
+        return _ntv2.ntv2_inverse(lon, lat, grids)
+    if "towgs84" in p:
+        return datum_from_wgs84(lon, lat, p["ellps"], p["towgs84"])
+    return lon, lat
+
+
 def _family_to_wgs84(fam: str, p: dict, x, y):
     if fam == "geographic":
-        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+        return _datum_shift_to_wgs84(
+            np.asarray(x, np.float64), np.asarray(y, np.float64), p)
     if fam == "webmerc":
         return kcrs.web_mercator_to_wgs84(x, y)
     if fam == "utm":
         return kcrs.utm_to_wgs84(x, y, p["zone"], south=p["south"])
     lon, lat = _INV[fam](x, y, p)
-    if "towgs84" in p:
-        lon, lat = datum_to_wgs84(lon, lat, p["ellps"], p["towgs84"])
-    return lon, lat
+    return _datum_shift_to_wgs84(lon, lat, p)
 
 
 def _family_from_wgs84(fam: str, p: dict, lon, lat):
     if fam == "geographic":
-        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+        return _datum_shift_from_wgs84(
+            np.asarray(lon, np.float64), np.asarray(lat, np.float64), p)
     if fam == "webmerc":
         return kcrs.wgs84_to_web_mercator(lon, lat)
     if fam == "utm":
         return kcrs.wgs84_to_utm(lon, lat, p["zone"], south=p["south"])
-    if "towgs84" in p:
-        lon, lat = datum_from_wgs84(lon, lat, p["ellps"], p["towgs84"])
+    lon, lat = _datum_shift_from_wgs84(lon, lat, p)
     return _FWD[fam](lon, lat, p)
 
 

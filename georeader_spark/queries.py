@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 from typing import Callable, Dict, Optional, Tuple
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -3086,15 +3088,46 @@ REGISTRY.update(
 # ===========================================================================
 
 
+#: Deterministic NTv2 test grid covering the synthetic events lon/lat
+#: domain (lon -10..30, lat 35..60): 0.5-deg cells, node shifts linear
+#: in the node indices with dyadic-rational values (k/128 arc-seconds,
+#: exactly representable in the format's float32 nodes) — so bilinear
+#: interpolation equals a closed form the DuckDB oracle can recompute.
+_NTV2_SYN = dict(s_lat=124200.0, n_lat=217800.0, e_lon=-109800.0,
+                 w_lon=37800.0, inc=1800.0, nlat=53, nlon=83)
+
+
+def _ntv2_syn_grid():
+    import numpy as np
+
+    from .kernels.ntv2 import Ntv2Subgrid
+
+    p = _NTV2_SYN
+    j = np.arange(p["nlat"], dtype=np.float64)[:, None]
+    i = np.arange(p["nlon"], dtype=np.float64)[None, :]
+    sh = np.empty((p["nlat"], p["nlon"], 2), np.float32)
+    sh[:, :, 0] = (256.0 + 8.0 * j - 4.0 * i) / 128.0
+    sh[:, :, 1] = (-512.0 + 2.0 * j + 6.0 * i) / 128.0
+    return Ntv2Subgrid(name="EUSYN", parent="NONE",
+                       s_lat=p["s_lat"], n_lat=p["n_lat"],
+                       e_lon=p["e_lon"], w_lon=p["w_lon"],
+                       lat_inc=p["inc"], lon_inc=p["inc"], shifts=sh)
+
+
 def q_transform_crs_families(spark, sf_dir):
     """polygon_to_crs general-CRS forwards (window_utils.py:1043-1122)
     for ALL five projection families the kernels/proj router dispatches
     — LAEA (EPSG:3035), LCC-2SP (EPSG:2154), Albers (EPSG:5070), polar
     stereographic (EPSG:3413) and transverse Mercator (EPSG:25832) — as
     one wide oracle-gated select of pure column expressions (mm-rounded
-    libm parity per family; datum-shifted TM codes like EPSG:27700 are
-    covered by kernel tests — Helmert needs an iterative inverse with
-    no SQL twin)."""
+    libm parity per family), PLUS the grid-shift datum path: an NTv2
+    bilinear shift (kernels/ntv2, the reference's pyproj ``+nadgrids=``
+    route) applied in one Arrow-batched struct UDF over a deterministic
+    grid whose linear node field gives the oracle a closed form.
+    Datum-shifted TM codes like EPSG:27700 are covered by kernel tests
+    — Helmert needs an iterative inverse with no SQL twin."""
+    from pyspark.sql.functions import pandas_udf
+
     from .functions.geo import (
         albers_forward_cols,
         laea_forward_cols,
@@ -3102,6 +3135,14 @@ def q_transform_crs_families(spark, sf_dir):
         ps_forward_cols,
         tm_forward_cols,
     )
+    from .kernels.ntv2 import ntv2_forward
+
+    grid = _ntv2_syn_grid()
+
+    @pandas_udf("struct<lon:double,lat:double>")
+    def ntv2_shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        s_lon, s_lat = ntv2_forward(lon.to_numpy(), lat.to_numpy(), [grid])
+        return pd.DataFrame({"lon": s_lon, "lat": s_lat})
 
     pts = _points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
     lx, ly = laea_forward_cols(F.col("lon"), F.col("lat"), 3035)
@@ -3109,6 +3150,7 @@ def q_transform_crs_families(spark, sf_dir):
     ax, ay = albers_forward_cols(F.col("lon"), F.col("lat"), 5070)
     px, py = ps_forward_cols(F.col("lon"), F.col("lat"), 3413)
     tx, ty = tm_forward_cols(F.col("lon"), F.col("lat"), 25832)
+    shifted = ntv2_shift(F.col("lon"), F.col("lat"))
     return pts.select(
         "event_id",
         F.round(lx, 3).alias("laea_x"), F.round(ly, 3).alias("laea_y"),
@@ -3116,6 +3158,8 @@ def q_transform_crs_families(spark, sf_dir):
         F.round(ax, 3).alias("albers_x"), F.round(ay, 3).alias("albers_y"),
         F.round(px, 3).alias("ps_x"), F.round(py, 3).alias("ps_y"),
         F.round(tx, 3).alias("tm_x"), F.round(ty, 3).alias("tm_y"),
+        F.round(shifted.getField("lon"), 6).alias("ntv2_lon"),
+        F.round(shifted.getField("lat"), 6).alias("ntv2_lat"),
     )
 
 
@@ -3135,13 +3179,24 @@ def _transform_crs_families_sql() -> str:
     ax, ay = albers_forward_sql(lon, lat, 5070)
     px, py = ps_forward_sql(lon, lat, 3413)
     tx, ty = tm_forward_sql(lon, lat, 25832)
+    # NTv2 closed form: the grid's node shifts are linear in the node
+    # indices, so the kernel's bilinear interpolation reduces to the
+    # same linear field at fractional indices (fj, fi); positive-west
+    # longitude shift subtracts from east-positive lon.
+    p = _NTV2_SYN
+    fj = f"(({lat}) * 3600.0 - {p['s_lat']}) / {p['inc']}"
+    fi = f"((-({lon})) * 3600.0 - {p['e_lon']}) / {p['inc']}"
+    dlat = f"(256.0 + 8.0 * ({fj}) - 4.0 * ({fi})) / 128.0"
+    dlonw = f"(-512.0 + 2.0 * ({fj}) + 6.0 * ({fi})) / 128.0"
     return f"""
 SELECT event_id,
        ROUND({lx}, 3) AS laea_x, ROUND({ly}, 3) AS laea_y,
        ROUND({cx}, 3) AS lcc_x, ROUND({cy}, 3) AS lcc_y,
        ROUND({ax}, 3) AS albers_x, ROUND({ay}, 3) AS albers_y,
        ROUND({px}, 3) AS ps_x, ROUND({py}, 3) AS ps_y,
-       ROUND({tx}, 3) AS tm_x, ROUND({ty}, 3) AS tm_y
+       ROUND({tx}, 3) AS tm_x, ROUND({ty}, 3) AS tm_y,
+       ROUND(({lon}) - ({dlonw}) / 3600.0, 6) AS ntv2_lon,
+       ROUND(({lat}) + ({dlat}) / 3600.0, 6) AS ntv2_lat
 FROM events WHERE event_id % 20 = 0
 """
 

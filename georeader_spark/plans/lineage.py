@@ -251,30 +251,52 @@ def salted_join(
     if n_salts is None:
         par = max(2, spark.sparkContext.defaultParallelism)
         n_salts = min(par, max(2, par // len(hot_keys)))
-    hot = spark.createDataFrame(
-        [(k,) for k in hot_keys],
-        f"_hot_key {facts.schema[key_col].dataType.simpleString()}",
-    )
     salt_src = F.col(id_col) if id_col else F.monotonically_increasing_id()
-    facts_s = (
-        facts.join(F.broadcast(hot), facts[key_col] == F.col("_hot_key"), "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("_hot_key").isNotNull(),
-                F.pmod(F.hash(salt_src), F.lit(n_salts)),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_hot_key")
-    )
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
-    dim_hot = (
-        dim.join(F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "inner")
-        .drop("_hot_key")
-        .crossJoin(F.broadcast(salts))
-    )
-    dim_cold = dim.join(
-        F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "left_anti"
-    ).withColumn("salt", F.lit(0))
+    salt_expr = F.pmod(F.hash(salt_src), F.lit(n_salts))
+    if len(hot_keys) <= 64:
+        # small hot set (the common case — "hot" means a handful of
+        # cells by definition): a literal IN predicate keeps the salt
+        # projection inside the scan stage's WholeStageCodegen with NO
+        # extra operator over facts — at 100 TB an additional
+        # broadcast-probe traversal of the fact table is the dominant
+        # avoidable cost. The broadcast-relation branch below guards
+        # plan size for large hot sets (the round-2 literal-predicate
+        # pathology starts at thousands of constants, not dozens).
+        is_hot = F.col(key_col).isin(hot_keys)
+        facts_s = facts.withColumn(
+            "salt", F.when(is_hot, salt_expr).otherwise(F.lit(0))
+        )
+        dim_hot = dim.where(F.col(key_col).isin(hot_keys)).crossJoin(
+            F.broadcast(salts)
+        )
+        dim_cold = dim.where(~F.col(key_col).isin(hot_keys)).withColumn(
+            "salt", F.lit(0)
+        )
+    else:
+        hot = spark.createDataFrame(
+            [(k,) for k in hot_keys],
+            f"_hot_key {facts.schema[key_col].dataType.simpleString()}",
+        )
+        facts_s = (
+            facts.join(
+                F.broadcast(hot), facts[key_col] == F.col("_hot_key"), "left"
+            )
+            .withColumn(
+                "salt",
+                F.when(F.col("_hot_key").isNotNull(), salt_expr).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .drop("_hot_key")
+        )
+        dim_hot = (
+            dim.join(F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "inner")
+            .drop("_hot_key")
+            .crossJoin(F.broadcast(salts))
+        )
+        dim_cold = dim.join(
+            F.broadcast(hot), dim[key_col] == F.col("_hot_key"), "left_anti"
+        ).withColumn("salt", F.lit(0))
     dim_s = dim_hot.unionByName(dim_cold)
     return facts_s.join(dim_s, [key_col, "salt"], how)

@@ -811,6 +811,28 @@ _PROJ4_FAMILY = {"lcc": "lcc2sp", "aea": "albers", "laea": "laea",
                  "stere": "ps", "tmerc": "tm", "sinu": "sinu",
                  "somerc": "somerc", "cea": "cea"}
 
+#: linear units: exact public definitions (US survey foot 1200/3937 m,
+#: international foot 0.3048 m) — the state-plane CRS unit machinery
+_PROJ4_UNITS = {"m": 1.0, "us-ft": 1200.0 / 3937.0, "ft": 0.3048,
+                "km": 1000.0}
+
+
+def _parse_to_meter(kv: Dict[str, str], s: str):
+    """``+to_meter=``/``+units=`` -> factor or None when metres.
+    PROJ semantics: ``+x_0``/``+y_0`` stay in metres; the OUTPUT
+    coordinates are divided by the factor."""
+    if "to_meter" in kv:
+        f = float(kv["to_meter"])
+    elif "units" in kv:
+        u = kv["units"]
+        f = _PROJ4_UNITS.get(u)
+        if f is None:
+            raise ValueError(f"unsupported +units={u} in {s!r} "
+                             f"(supported: {sorted(_PROJ4_UNITS)})")
+    else:
+        return None
+    return None if f == 1.0 else f
+
 
 def parse_proj4(s: str) -> Tuple[str, dict]:
     """PROJ.4 string -> (family, params) for the families this kernel
@@ -834,11 +856,15 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
     if proj not in ("longlat", "merc", "utm", "ups") and proj not in _PROJ4_FAMILY:
         raise ValueError(f"unsupported +proj={proj} (supported: "
                          f"{sorted(_PROJ4_FAMILY)} + utm/ups/longlat/merc)")
+    to_m = None if proj == "longlat" else _parse_to_meter(kv, s)
     if proj == "ups":
-        return "ps", {"ellps": "WGS84",
-                      "lat_ts": -90.0 if "south" in kv else 90.0,
-                      "k_0": 0.994, "lon_0": 0.0,
-                      "x_0": 2000000.0, "y_0": 2000000.0}
+        p = {"ellps": "WGS84",
+             "lat_ts": -90.0 if "south" in kv else 90.0,
+             "k_0": 0.994, "lon_0": 0.0,
+             "x_0": 2000000.0, "y_0": 2000000.0}
+        if to_m is not None:
+            p["to_meter"] = to_m
+        return "ps", p
     if proj == "longlat":
         # non-WGS84 geographic CRS: carry the datum so to/from_wgs84
         # applies the shift (grid-shift wins over towgs84, as in PROJ)
@@ -875,6 +901,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
                 f"ellipsoidal +proj=merc not supported (spherical/web "
                 f"mercator only): {s!r}"
             )
+        if to_m is not None:
+            raise ValueError(f"+units/+to_meter unsupported for merc: {s!r}")
         return "webmerc", {}
     if proj == "utm":
         zone, south = int(kv["zone"]), "south" in kv
@@ -889,7 +917,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
                                  else None)
         if ellps is None:
             raise ValueError(f"unsupported ellipsoid in {s!r}")
-        if ellps == "WGS84" and "towgs84" not in kv and "nadgrids" not in kv:
+        if (ellps == "WGS84" and "towgs84" not in kv
+                and "nadgrids" not in kv and to_m is None):
             return "utm", {"zone": zone, "south": south}
         # non-WGS84 UTM (e.g. ED50 "+proj=utm +ellps=intl +towgs84=...")
         # is NOT WGS84 UTM — ~100-200 m off (ADVICE r3). Route through
@@ -907,6 +936,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
             p["towgs84"] = tuple(t)
         if "nadgrids" in kv:
             p["nadgrids"] = kv["nadgrids"]
+        if to_m is not None:
+            p["to_meter"] = to_m
         return "tm", p
     if proj == "sinu":
         p = {"lon_0": float(kv.get("lon_0", 0.0)),
@@ -921,6 +952,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
             if ell is None:
                 raise ValueError(f"unsupported ellipsoid in {s!r}")
             p["ellps"] = ell
+        if to_m is not None:
+            p["to_meter"] = to_m
         return "sinu", p
 
     ellps = kv.get("ellps")
@@ -945,6 +978,8 @@ def parse_proj4(s: str) -> Tuple[str, dict]:
         p["towgs84"] = tuple(t)
     if "nadgrids" in kv:
         p["nadgrids"] = kv["nadgrids"]
+    if to_m is not None:
+        p["to_meter"] = to_m
     if proj in ("lcc", "aea"):
         p["lat_1"] = float(kv["lat_1"])
         p["lat_2"] = float(kv.get("lat_2", kv["lat_1"]))
@@ -1065,6 +1100,17 @@ def parse_wkt(s: str) -> Tuple[str, dict]:
         key = _WKT_PARAM.get(str(sub[0]).strip().upper())
         if key:
             p[key] = float(sub[1])
+    # PROJCS linear UNIT (direct child — the GEOGCS angular unit is
+    # nested deeper): WKT1 expresses FALSE_EASTING/NORTHING in the
+    # CRS unit, and output coordinates are in that unit too (ftUS
+    # state planes). Ignoring it would be silently wrong by ~3.28x.
+    units = _wkt_find(args, "UNIT")
+    if units:
+        factor = float(units[0][1])
+        if abs(factor - 1.0) > 1e-12:
+            p["to_meter"] = factor
+            p["x_0"] *= factor
+            p["y_0"] *= factor
     geogcs = _wkt_find(args, "GEOGCS")
     if geogcs:
         datum = _wkt_find(geogcs[0], "DATUM")
@@ -1164,6 +1210,11 @@ def _family_to_wgs84(fam: str, p: dict, x, y):
         return kcrs.web_mercator_to_wgs84(x, y)
     if fam == "utm":
         return kcrs.utm_to_wgs84(x, y, p["zone"], south=p["south"])
+    if "to_meter" in p:
+        # PROJ unit semantics: coordinates arrive in CRS units (e.g.
+        # ftUS state planes); the projection kernels work in metres
+        x = np.asarray(x, np.float64) * p["to_meter"]
+        y = np.asarray(y, np.float64) * p["to_meter"]
     lon, lat = _INV[fam](x, y, p)
     return _datum_shift_to_wgs84(lon, lat, p)
 
@@ -1177,7 +1228,11 @@ def _family_from_wgs84(fam: str, p: dict, lon, lat):
     if fam == "utm":
         return kcrs.wgs84_to_utm(lon, lat, p["zone"], south=p["south"])
     lon, lat = _datum_shift_from_wgs84(lon, lat, p)
-    return _FWD[fam](lon, lat, p)
+    x, y = _FWD[fam](lon, lat, p)
+    if "to_meter" in p:
+        x = np.asarray(x, np.float64) / p["to_meter"]
+        y = np.asarray(y, np.float64) / p["to_meter"]
+    return x, y
 
 
 def _parse_crs_string(crs: str):

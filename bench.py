@@ -622,23 +622,21 @@ def _write_bench_md(result: dict):
             "",
             "### Round-over-round delta (same harness, same input)",
             "",
-            "| metric | round 1 | round 2 | round 3 |",
-            "|---|---|---|---|",
+            "| metric | round 1 | round 2 | round 3 | this run |",
+            "|---|---|---|---|---|",
             "| flagship pages/sec at local[32] | 230,806 | 529,776 | "
-            f"{result['pages_per_sec']} |",
-            "| 2 -> 8 efficiency | 0.772 | 0.964 | "
+            f"546,059 (best 642,809) | {result['pages_per_sec']} |",
+            "| 2 -> 8 efficiency | 0.772 | 0.964 | 1.019 | "
             f"{result['scaling']['efficiency_4x_2_to_8']} |",
-            "| 8 -> 32 efficiency | 0.528 | 0.596 | "
+            "| 8 -> 32 efficiency | 0.528 | 0.596 | 0.449 | "
             f"{result['scaling']['efficiency_4x_8_to_32']} |",
             "",
-            "What changed in round 3: the extraction-invariant gate became "
-            "a broadcast-relation join (predicate references both sides, so "
-            "the html decode + extraction regexes are no longer pushed into "
-            "the parquet scan's DataFilters — they ran 3x/row in round 2, "
-            "now once; measured -21% flagship wall in interleaved A/B), "
-            "page identity travels as xxhash64(url) through wide stages "
-            "instead of the url string, and the skewed-input salted-join "
-            "scaling table above was added.",
+            "Round 3's byte diet (extraction-invariant gate as a "
+            "broadcast-relation join, xxhash64 page identity) raised "
+            "every absolute number while LOWERING the 8 -> 32 ratio "
+            "(earlier DRAM roof — see the saturation note above). "
+            "'this run' is one window set; see the best-recorded table "
+            "for calm-window values across runs.",
         ]
     lines += ["", "## Per-query seconds", "", "| query | sec |", "|---|---|"]
     for k, v in result["queries"].items():

@@ -1,0 +1,267 @@
+"""S2-style cube-face Hilbert cell index (the range-pruning half of
+"H3/S2 cell encoding", north rule).
+
+GridCell (kernels/cells.py) is the engine's equirectangular H3 analog:
+good hash-join keys, ring expansion for kNN. What it cannot give is
+RANGE pruning — its x/y interleave-free ids make a spatial region a
+set of scattered ids. This module adds the S2 idea: project the sphere
+onto 6 cube faces, order leaf cells along a Hilbert space-filling
+curve, and pack (face, curve position, level) into one int64 so that
+
+- every cell's descendants occupy the CONTIGUOUS id range
+  ``[range_min(c), range_max(c)]`` — a region cover becomes a handful
+  of BETWEEN predicates that parquet/Iceberg min-max statistics prune
+  on a table sorted by cell id (the 100 TB story: a bbox query touches
+  only the files whose id range intersects the cover), and
+- curve locality makes nearby points nearby in sort order, so the
+  same sort that enables pruning also clusters I/O.
+
+Layout (the s2geometry id scheme, public: s2geometry.io, here at
+MAX_LEVEL=29 so ids stay positive int64): 3 face bits, 2*MAX_LEVEL
+position bits, one trailing set bit marking the level;
+``lsb = id & -id``; ``range = id -/+ (lsb - 1)``.
+
+Honesty note: this is S2-STYLE, not bit-compatible with Google's
+s2geometry (no library exists in this sandbox to verify id-for-id
+parity; s2 also couples face orientations so the curve is continuous
+across faces, which this implementation does not replicate). The
+properties the engine relies on — bijectivity, hierarchy nesting,
+subtree-contiguous ranges, per-face Hilbert adjacency — are what the
+tests pin. The cube-face ST transform is S2's published quadratic
+projection (area distortion bounded ~2.1x, vs ~unbounded for
+equirectangular toward the poles).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+# 29 levels: 3 face bits + 2*29 position bits + 1 level bit = 62 bits,
+# keeping every id POSITIVE in int64 (Spark LongType / parquet stats
+# order ids correctly; Google's s2 uses uint64 and level 30 — level-29
+# leaf cells are ~3 cm across, far below any geotag precision)
+MAX_LEVEL = 29
+_N = 1 << MAX_LEVEL  # leaf grid per face axis
+
+__all__ = [
+    "MAX_LEVEL", "cell_id", "cell_id_np", "cell_level", "parent",
+    "children", "range_min", "range_max", "cell_center", "cover_bbox",
+    "contains",
+]
+
+
+# --- sphere -> cube face (u, v) ------------------------------------------
+
+def _face_uv(lon, lat):
+    """Vectorized lon/lat (deg) -> (face 0..5, u, v) in [-1, 1].
+
+    Faces: 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z; uv axes chosen per face so
+    (u, v) are the remaining two coordinates divided by the major axis
+    (documented convention; consistent with the inverse below)."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4),
+                 np.where(z >= 0, 2, 5)))
+    major = np.choose(face, [x, y, z, x, y, z])
+    u = np.choose(face, [y, -x, -x, z, z, y]) / major
+    v = np.choose(face, [z, z, y, y, x, x]) / major
+    return face.astype(np.int64), u, v
+
+
+def _uv_to_xyz(face, u, v):
+    """Inverse of _face_uv (faces 3/4/5 divide by a NEGATIVE major, so
+    u = c/major means c = -u there)."""
+    one = np.ones_like(u)
+    cond = [face == k for k in range(6)]
+    x = np.select(cond, [one, -u, -u, -one, -v, -v])
+    y = np.select(cond, [u, one, v, -v, -one, -u])
+    z = np.select(cond, [v, v, one, -u, -u, -one])
+    return x, y, z
+
+
+def _st_from_uv(u):
+    """S2 quadratic ST transform: u in [-1,1] -> s in [0,1]."""
+    u = np.asarray(u, np.float64)
+    # clip keeps the unused np.where branch's sqrt argument >= 0
+    return np.where(u >= 0.0,
+                    0.5 * np.sqrt(1.0 + np.clip(3.0 * u, 0.0, None)),
+                    1.0 - 0.5 * np.sqrt(1.0 - np.clip(3.0 * u, None, 0.0)))
+
+
+def _uv_from_st(s):
+    s = np.asarray(s, np.float64)
+    return np.where(s >= 0.5,
+                    (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+# --- Hilbert curve on one face -------------------------------------------
+
+def _xy_to_hilbert(i, j, level=MAX_LEVEL):
+    """Vectorized (i, j) -> curve position on a 2^level grid (classic
+    Hilbert xy->d, processed MSB-first with coordinate rotation)."""
+    i = np.asarray(i, np.int64).copy()
+    j = np.asarray(j, np.int64).copy()
+    d = np.zeros_like(i)
+    s = np.int64(1) << (level - 1)
+    while s > 0:
+        rx = ((i & s) > 0).astype(np.int64)
+        ry = ((j & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        i_f = np.where(flip, s - 1 - i, i)
+        j_f = np.where(flip, s - 1 - j, j)
+        swap = ry == 0
+        i, j = (np.where(swap, j_f, i_f), np.where(swap, i_f, j_f))
+        s >>= 1
+    return d
+
+
+def _hilbert_to_xy(d, level=MAX_LEVEL):
+    d = np.asarray(d, np.int64).copy()
+    i = np.zeros_like(d)
+    j = np.zeros_like(d)
+    s = np.int64(1)
+    while s < (np.int64(1) << level):
+        rx = 1 & (d // 2)
+        ry = 1 & (d ^ rx)
+        flip = (ry == 0) & (rx == 1)
+        i_f = np.where(flip, s - 1 - i, i)
+        j_f = np.where(flip, s - 1 - j, j)
+        swap = ry == 0
+        i, j = (np.where(swap, j_f, i_f), np.where(swap, i_f, j_f))
+        i += s * rx
+        j += s * ry
+        d //= 4
+        s *= 2
+    return i, j
+
+
+# --- id packing -----------------------------------------------------------
+
+def _pack(face, pos, level):
+    """face(3) | pos(2*MAX_LEVEL, level-truncated) | trailing 1."""
+    shift = 2 * (MAX_LEVEL - level)
+    pos_t = (np.asarray(pos, np.int64) >> shift) << shift
+    return (np.asarray(face, np.int64) << (2 * MAX_LEVEL + 1)) \
+        | (pos_t << 1) | (np.int64(1) << shift)
+
+
+def cell_id_np(lon, lat, level: int) -> np.ndarray:
+    """Vectorized lon/lat (deg) -> S2-style cell id at ``level``."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}")
+    face, u, v = _face_uv(lon, lat)
+    i = np.clip((_st_from_uv(u) * _N).astype(np.int64), 0, _N - 1)
+    j = np.clip((_st_from_uv(v) * _N).astype(np.int64), 0, _N - 1)
+    return _pack(face, _xy_to_hilbert(i, j), level)
+
+
+def cell_id(lon: float, lat: float, level: int) -> int:
+    return int(cell_id_np(np.float64(lon), np.float64(lat), level))
+
+
+def _lsb(cid):
+    cid = np.asarray(cid, np.int64)
+    return cid & (-cid)
+
+
+def cell_level(cid: int) -> int:
+    return MAX_LEVEL - int(int(_lsb(cid)).bit_length() - 1) // 2
+
+
+def range_min(cid):
+    return np.asarray(cid, np.int64) - (_lsb(cid) - 1)
+
+
+def range_max(cid):
+    return np.asarray(cid, np.int64) + (_lsb(cid) - 1)
+
+
+def contains(cid, other) -> np.ndarray:
+    """cid's subtree contains other (vectorized on either side)."""
+    return (range_min(cid) <= np.asarray(other, np.int64)) \
+        & (np.asarray(other, np.int64) <= range_max(cid))
+
+
+def parent(cid: int, level: int | None = None) -> int:
+    lvl = cell_level(cid)
+    level = lvl - 1 if level is None else level
+    if not 0 <= level <= lvl:
+        raise ValueError(f"parent level {level} above cell level {lvl}")
+    new_lsb = np.int64(1) << (2 * (MAX_LEVEL - level))
+    return int((np.int64(cid) & -new_lsb) | new_lsb)
+
+
+def children(cid: int) -> List[int]:
+    lvl = cell_level(cid)
+    if lvl >= MAX_LEVEL:
+        raise ValueError("leaf cell has no children")
+    lsb = int(_lsb(cid))
+    clsb = lsb >> 2
+    base = cid - lsb + clsb
+    return [base + 2 * k * clsb for k in range(4)]
+
+
+def cell_center(cid: int) -> Tuple[float, float]:
+    """Center lon/lat (deg) of the cell (inverse of cell_id at the
+    leaf centered in the cell's range)."""
+    cid = int(cid)
+    face = cid >> (2 * MAX_LEVEL + 1)
+    pos = (cid >> 1) & ((1 << (2 * MAX_LEVEL)) - 1)
+    i, j = _hilbert_to_xy(np.int64(pos))
+    # the truncated curve position lands on the FIRST leaf of the
+    # subtree; the subtree's ij square is the aligned block around it
+    lvl = cell_level(cid)
+    k = MAX_LEVEL - lvl
+    i0 = (np.int64(i) >> k) << k
+    j0 = (np.int64(j) >> k) << k
+    half = float(np.int64(1) << k) / 2.0
+    s = (np.float64(i0) + half) / _N
+    t = (np.float64(j0) + half) / _N
+    u = _uv_from_st(s)
+    v = _uv_from_st(t)
+    x, y, z = _uv_to_xyz(np.int64(face), u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return float(lon), float(lat)
+
+
+def cover_bbox(lon_min: float, lat_min: float, lon_max: float,
+               lat_max: float, level: int,
+               samples: int = 64) -> List[Tuple[int, int]]:
+    """Conservative bbox cover as MERGED id ranges at ``level``.
+
+    Samples a (samples+1)^2 grid over the bbox (dense enough when the
+    bbox spans >= a few cells at ``level``; endpoint rows/cols are
+    included so the cover reaches the edges), collects the distinct
+    cells, and merges adjacent [range_min, range_max] intervals. The
+    result is the BETWEEN-predicate list a sorted-by-cell-id table
+    prunes on. Conservative = may include extra cells; never misses a
+    sampled cell, and the engine's range-scan pattern always re-filters
+    by the exact predicate after the range prefilter."""
+    lons = np.linspace(lon_min, lon_max, samples + 1)
+    lats = np.linspace(lat_min, lat_max, samples + 1)
+    glon, glat = np.meshgrid(lons, lats)
+    ids = np.unique(cell_id_np(glon.ravel(), glat.ravel(), level))
+    los = range_min(ids)
+    his = range_max(ids)
+    order = np.argsort(los)
+    ranges: List[Tuple[int, int]] = []
+    # leaf ids are odd (trailing level bit), so adjacent sibling
+    # subtrees sit exactly 2 apart — merge across that gap
+    for lo, hi in zip(los[order], his[order]):
+        if ranges and int(lo) <= ranges[-1][1] + 2:
+            ranges[-1] = (ranges[-1][0], max(ranges[-1][1], int(hi)))
+        else:
+            ranges.append((int(lo), int(hi)))
+    return ranges

@@ -547,12 +547,32 @@ FROM events GROUP BY 1
 """
 
 
+#: bbox for the S2-range-scan leg of geo_xyz_tiles (inside the synthetic
+#: events lon/lat domain) and the cover level (coarse enough that the
+#: merged BETWEEN list stays a small codegen-friendly predicate)
+_S2_BBOX = (-2.0, 41.0, 8.0, 49.0)
+_S2_COVER_LEVEL = 7
+
+
 def q_xyz_tiles(spark, sf_dir):
-    """XYZ slippy-tile assignment at z=9 (window_from_tile scheme,
-    read.py:437-491) — counts per tile."""
+    """Cell/tile indexing, both halves of the north rule's "H3/S2":
+    (a) XYZ slippy-tile assignment at z=9 (window_from_tile scheme,
+    read.py:437-491) — counts per tile; (b) an S2-style range scan
+    (kernels/s2cells): a bbox becomes merged cell-id RANGES via the
+    cube-face Hilbert cover, the range prefilter runs as BETWEEN
+    predicates over Arrow-encoded leaf ids, and the exact bbox refine
+    follows — emitted as one (tx=-1, ty=-1, n) row. The oracle
+    recomputes the bbox count directly, so a cover that MISSES any
+    range undercounts and fails the hash (the pruning-shape evidence —
+    pushed range filters over a sorted stored column — is the
+    test_s2_range_pruning plan test)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .kernels import s2cells as ks2
+
     pts = _points(spark, sf_dir)
     z = 9
-    return (
+    xyz = (
         pts.select(
             G.xyz_tile_x(F.col("lon"), z).alias("tx"),
             G.xyz_tile_y(F.col("lat"), z).alias("ty"),
@@ -561,11 +581,43 @@ def q_xyz_tiles(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
 
+    @pandas_udf("long")
+    def s2_leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            ks2.cell_id_np(lon.to_numpy(), lat.to_numpy(), ks2.MAX_LEVEL))
+
+    lo_w, la_s, lo_e, la_n = _S2_BBOX
+    ranges = ks2.cover_bbox(lo_w, la_s, lo_e, la_n, level=_S2_COVER_LEVEL)
+    s2 = s2_leaf(F.col("lon"), F.col("lat"))
+    range_pred = None
+    for lo, hi in ranges:
+        leg = s2.between(F.lit(lo), F.lit(hi))
+        range_pred = leg if range_pred is None else (range_pred | leg)
+    bbox_pred = (
+        (F.col("lon") >= lo_w) & (F.col("lon") <= lo_e)
+        & (F.col("lat") >= la_s) & (F.col("lat") <= la_n)
+    )
+    s2_leg = (
+        pts.where(range_pred)          # cover prefilter (the prunable half)
+        .where(bbox_pred)              # exact refine
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(-1).cast("int").alias("tx"),
+                F.lit(-1).cast("int").alias("ty"), "n")
+    )
+    return xyz.select(F.col("tx").cast("int"), F.col("ty").cast("int"), "n") \
+        .unionByName(s2_leg)
+
 
 _xyz_x, _xyz_y = G.xyz_tile_sql(LON_SQL, LAT_SQL, 9)
 Q_XYZ_TILES_SQL = f"""
-SELECT {_xyz_x} AS tx, {_xyz_y} AS ty, COUNT(*) AS n
+SELECT CAST({_xyz_x} AS INTEGER) AS tx, CAST({_xyz_y} AS INTEGER) AS ty,
+       COUNT(*) AS n
 FROM events GROUP BY 1, 2
+UNION ALL
+SELECT -1 AS tx, -1 AS ty, COUNT(*) AS n
+FROM events
+WHERE {LON_SQL} >= {_S2_BBOX[0]} AND {LON_SQL} <= {_S2_BBOX[2]}
+  AND {LAT_SQL} >= {_S2_BBOX[1]} AND {LAT_SQL} <= {_S2_BBOX[3]}
 """
 
 # ===========================================================================

@@ -1,8 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (task brief). The Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested; the actual
-codec decode is STUBBED (no image/audio libraries in this container)
-behind a deterministic fake decoder, clearly marked.
+UDF signature, Arrow batch shape — is real and tested. Since round 4
+the decode is REAL for self-describing formats (kernels/media: PPM/PGM
+and BMP images, RIFF PCM WAV audio — pure-spec struct/numpy parsing,
+no codec libraries needed); the honest NotImplementedError boundary
+remains only for genuinely codec-bound formats (JPEG/MP3/H.264 — the
+synthetic ``video`` rows model that side behind a deterministic fake
+decoder, clearly marked).
 
 Pattern (mirrors GeoTensor.load_bytes, the reference's own
 bytes->array recipe, geotensor.py:2165-2214): binary payload column ->
@@ -19,59 +23,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..kernels import media as kmedia
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, "
     "sample_rate int, payload binary"
 )
 
-
-def synth_media(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:
-    """Deterministic fake media table: payload = packed header + bytes
-    derived from media_id (stands in for real image/audio bytes)."""
-    if n_partitions is None:
-        n_partitions = max(spark.sparkContext.defaultParallelism, 8)
-    df = spark.range(0, n_rows, 1, n_partitions)
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
-    )
-    w = (F.pmod(F.col("id") * 31, F.lit(5)) * 64 + 64).cast("int")
-    h = (F.pmod(F.col("id") * 17, F.lit(5)) * 64 + 64).cast("int")
-    frames = F.when(kind == "video", (F.pmod(F.col("id"), F.lit(24)) + 8).cast("int")).otherwise(F.lit(1))
-    rate = F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0))
-    payload = F.encode(
-        F.format_string("FAKEMEDIA:%d", F.col("id")), "UTF-8"
-    )
-    return df.select(
-        F.col("id").alias("media_id"),
-        kind.alias("kind"),
-        w.alias("width"),
-        h.alias("height"),
-        frames.alias("n_frames"),
-        rate.alias("sample_rate"),
-        payload.alias("payload"),
-    )
+#: audio synth constants (closed-form samples so the DuckDB twin can
+#: recompute the decoded features; see queries._media_features_sql)
+AUDIO_RATE = 16000
+AUDIO_SEED_MULT = 2654435761
+AUDIO_STEP = 7919
 
 
-def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: deterministic fake decoder. A real deployment swaps this
-    for PIL/av/soundfile inside the same mapInPandas batch; the Spark
-    plumbing (schema in/out, batching, partitioning) is identical.
-
-    Raises NotImplementedError for kinds a real codec would handle but
-    the fake cannot — callers route only known-fake payloads here.
-    """
-    if not payload.startswith(b"FAKEMEDIA:"):
-        raise NotImplementedError(
-            "real media decode requires codec libraries not present in "
-            "this environment; only deterministic fake payloads supported"
-        )
-    seed = int(payload.split(b":", 1)[1])
-    # deterministic pixel field from the id via md5 counter mode over
-    # the STRING key "seed:counter" — string-keyed (not packed binary)
-    # so any engine with a varchar md5 (DuckDB, Spark) reproduces the
-    # identical bytes; the SQL twin in queries._media_features_sql
-    # re-derives every pixel
+def _md5_pixels(seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic pixel field: md5 counter mode over the STRING key
+    "seed:counter" — string-keyed (not packed binary) so any engine
+    with a varchar md5 (DuckDB, Spark) reproduces identical bytes."""
     n = width * height
     out = np.empty(n, dtype=np.uint8)
     pos = 0
@@ -85,10 +54,81 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return out.reshape(height, width)
 
 
+def audio_samples(media_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 PCM: ((seed + STEP*t) mod 65536) - 32768."""
+    seed = (media_id * AUDIO_SEED_MULT) % 65536
+    u = (seed + AUDIO_STEP * np.arange(n, dtype=np.int64)) % 65536
+    return (u - 32768).astype(np.int16)
+
+
+def synth_media(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:
+    """Deterministic media table with REAL payloads where the format
+    allows: image rows carry a real PGM (P5) wrapping the md5 pixel
+    field, audio rows a real PCM WAV of closed-form samples, video
+    rows the marked fake (codec formats need libraries this container
+    lacks). Generated executor-side in Arrow batches — payload bytes
+    never route through the driver."""
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"].to_numpy():
+                mid = int(mid)
+                w = (mid * 31 % 5) * 64 + 64
+                h = (mid * 17 % 5) * 64 + 64
+                k = mid % 3
+                if k == 0:
+                    kind, frames, rate = "image", 1, 0
+                    payload = kmedia.encode_ppm(_md5_pixels(mid, w, h))
+                elif k == 1:
+                    kind, frames, rate = "audio", 1, AUDIO_RATE
+                    n = 4000 + (mid % 5) * 1000
+                    payload = kmedia.encode_wav(audio_samples(mid, n),
+                                                AUDIO_RATE)
+                else:
+                    kind, frames, rate = "video", (mid % 24) + 8, 0
+                    payload = f"FAKEMEDIA:{mid}".encode()
+                rows.append({"media_id": mid, "kind": kind, "width": w,
+                             "height": h, "n_frames": frames,
+                             "sample_rate": rate, "payload": payload})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "width", "height", "n_frames",
+                "sample_rate", "payload"])
+
+    return spark.range(0, n_rows, 1, n_partitions).mapInPandas(
+        gen, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB for codec-bound formats: deterministic fake decoder. A
+    real deployment swaps this for PIL/av inside the same mapInPandas
+    batch; the Spark plumbing (schema in/out, batching, partitioning)
+    is identical. Self-describing formats no longer come here — they
+    decode for real via kernels/media.
+
+    Raises NotImplementedError for payloads a real codec would handle
+    but the fake cannot — the honest boundary.
+    """
+    if not payload.startswith(b"FAKEMEDIA:"):
+        raise NotImplementedError(
+            "codec-bound media decode (JPEG/MP3/H.264...) requires "
+            "libraries not present in this environment; self-describing "
+            "formats (WAV/PPM/BMP) decode via kernels.media"
+        )
+    seed = int(payload.split(b":", 1)[1])
+    return _md5_pixels(seed, width, height)
+
+
 def media_features(media: DataFrame) -> DataFrame:
-    """Decode (fake) + feature-extract per batch: mean/std intensity,
-    a 4x4 downsample fingerprint hash. Real decode would slot into the
-    same UDF; Arrow batch shape and output schema are production-real.
+    """Decode + feature-extract per batch: mean/std intensity, a 4x4
+    downsample fingerprint hash (images / fake-video frames) or exact
+    sample moments + head fingerprint (PCM audio). Routing is by magic
+    bytes (kernels.media.sniff_kind): PPM/PGM and WAV decode for REAL;
+    FAKEMEDIA marks the codec-stub side; anything else raises at the
+    honest boundary. Arrow batch shape and output schema are
+    production-real.
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +144,36 @@ def media_features(media: DataFrame) -> DataFrame:
                 pdf["height"].to_numpy(),
                 pdf["payload"],
             ):
-                arr = _fake_decode(bytes(payload), int(width), int(height))
+                b = bytes(payload)
+                fmt = kmedia.sniff_kind(b)
+                if fmt == "ppm":
+                    arr = kmedia.decode_ppm(b)
+                elif fmt == "bmp":
+                    arr = kmedia.decode_bmp(b)
+                elif fmt == "wav":
+                    samples, _rate = kmedia.decode_wav(b)
+                    # shifted to 0..65535: non-negative exact moments +
+                    # head fingerprint, SQL-reproducible closed form
+                    u = samples.astype(np.int64).ravel() + 32768
+                    n_s = u.size
+                    s1 = int(u.sum())
+                    s2 = int((u * u).sum())
+                    mean = s1 / n_s
+                    fp = hashlib.md5(
+                        ",".join(str(int(v)) for v in u[:16]).encode()
+                    ).hexdigest()
+                    rows.append({
+                        "media_id": int(mid), "kind": kind,
+                        "mean_intensity": mean,
+                        "std_intensity": float(
+                            np.sqrt(s2 / n_s - mean * mean)),
+                        "thumb_fp": fp,
+                    })
+                    continue
+                else:
+                    arr = _fake_decode(b, int(width), int(height))
+                if arr.ndim == 3:  # RGB (BMP/P6): channel-mean gray
+                    arr = arr.mean(axis=2).astype(np.uint8)
                 # 4x4 block-mean thumbnail -> fingerprint (hashed over
                 # the comma-joined decimal bytes, row-major — the
                 # engine-independent form of tobytes())

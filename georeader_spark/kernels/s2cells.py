@@ -48,6 +48,7 @@ _N = 1 << MAX_LEVEL  # leaf grid per face axis
 __all__ = [
     "MAX_LEVEL", "cell_id", "cell_id_np", "cell_level", "parent",
     "children", "range_min", "range_max", "cell_center", "cover_bbox",
+    "cell_neighbors_np",
     "contains",
 ]
 
@@ -236,23 +237,87 @@ def cell_center(cid: int) -> Tuple[float, float]:
     return float(lon), float(lat)
 
 
+#: minimum angular extent (degrees) of a level-0 cell row/column:
+#: ST cell size is 2^-level of the face, the quadratic transform's
+#: derivative bound du/ds >= 4/3, and dlon/du = cos^2 >= 1/2 give a
+#: cell extent >= (4/3) * (1/2) * 2^-level rad = 38.197 deg / 2^level
+_MIN_CELL_DEG_L0 = 38.197
+
+
+def cell_neighbors_np(ids: np.ndarray, level: int) -> np.ndarray:
+    """The 8-neighborhood of each cell, EXACT across face edges: each
+    neighbor's would-be center is computed in the cell's own face ST
+    frame (u/v beyond [-1, 1] for off-face neighbors), mapped through
+    the cube to lon/lat, and re-encoded — the standard cube-neighbor
+    trick, so cells on an adjacent face resolve to that face's ids.
+    Returns a flat (unique-unsorted) id array including the inputs."""
+    ids = np.asarray(ids, np.int64)
+    face = ids >> (2 * MAX_LEVEL + 1)
+    pos = (ids >> 1) & ((np.int64(1) << (2 * MAX_LEVEL)) - 1)
+    i, j = _hilbert_to_xy(pos)
+    k = MAX_LEVEL - level
+    blk = np.int64(1) << k
+    i0 = (i >> k) << k
+    j0 = (j >> k) << k
+    out = [ids]
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            s = (np.float64(i0 + di * blk) + 0.5 * float(blk)) / _N
+            t = (np.float64(j0 + dj * blk) + 0.5 * float(blk)) / _N
+            u = _uv_from_st(s)
+            v = _uv_from_st(t)
+            x, y, z = _uv_to_xyz(face, u, v)
+            lon = np.degrees(np.arctan2(y, x))
+            lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+            out.append(cell_id_np(lon, lat, level))
+    return np.concatenate(out)
+
+
 def cover_bbox(lon_min: float, lat_min: float, lon_max: float,
                lat_max: float, level: int,
-               samples: int = 64) -> List[Tuple[int, int]]:
-    """Conservative bbox cover as MERGED id ranges at ``level``.
+               samples: int = 64,
+               max_samples: int = 4096) -> List[Tuple[int, int]]:
+    """Complete, conservative bbox cover as MERGED id ranges at
+    ``level``.
 
-    Samples a (samples+1)^2 grid over the bbox (dense enough when the
-    bbox spans >= a few cells at ``level``; endpoint rows/cols are
-    included so the cover reaches the edges), collects the distinct
-    cells, and merges adjacent [range_min, range_max] intervals. The
-    result is the BETWEEN-predicate list a sorted-by-cell-id table
-    prunes on. Conservative = may include extra cells; never misses a
-    sampled cell, and the engine's range-scan pattern always re-filters
-    by the exact predicate after the range prefilter."""
+    Samples a grid over the bbox, collects the distinct cells, expands
+    the set by each cell's exact 8-neighborhood, and merges adjacent
+    [range_min, range_max] intervals. Completeness comes from two
+    guards working together:
+
+    - the sample density is AUTO-RAISED so the spacing is at most a
+      quarter of the minimum cell extent at ``level`` — the sample
+      nearest to any in-bbox point is then inside that point's cell or
+      an adjacent one, and
+    - the neighbor expansion (``cell_neighbors_np``, exact across face
+      edges) pulls in those adjacent cells — this is what catches the
+      sliver cells where the bbox crosses a cube-face edge and cell
+      footprints rotate in lon/lat (a pure density raise cannot:
+      fuzzing found misses at face crossings at any density).
+
+    The expansion makes the cover a one-cell ring LARGER than minimal
+    — conservative by design; the engine's range-scan pattern always
+    re-filters by the exact predicate after the range prefilter, so
+    extra ranges cost scan width, never correctness. If completeness
+    would need more than ``max_samples`` per axis (bbox spans ~16k+
+    cells per axis), raises instead of returning an incomplete cover —
+    use a coarser level (wider ranges, still conservative)."""
+    min_cell = _MIN_CELL_DEG_L0 / (1 << level)
+    span = max(abs(lon_max - lon_min), abs(lat_max - lat_min))
+    needed = int(np.ceil(span / (0.25 * min_cell))) if span > 0 else 1
+    if needed > max_samples:
+        raise ValueError(
+            f"cover_bbox: a complete cover of a {span:.3g} deg bbox at "
+            f"level {level} needs {needed} samples/axis (> {max_samples}); "
+            "use a coarser level (wider ranges, still conservative)")
+    samples = max(samples, needed)
     lons = np.linspace(lon_min, lon_max, samples + 1)
     lats = np.linspace(lat_min, lat_max, samples + 1)
     glon, glat = np.meshgrid(lons, lats)
-    ids = np.unique(cell_id_np(glon.ravel(), glat.ravel(), level))
+    base = np.unique(cell_id_np(glon.ravel(), glat.ravel(), level))
+    ids = np.unique(cell_neighbors_np(base, level))
     los = range_min(ids)
     his = range_max(ids)
     order = np.argsort(los)

@@ -188,3 +188,62 @@ class TestSparkRangeScan:
         # pruning benefit), while remaining a superset of the bbox
         n_pre = pre.count()
         assert n_direct <= n_pre < 20000 * 0.5
+
+
+class TestCoverCompleteness:
+    """cover_bbox must never miss a cell containing an in-bbox point —
+    a miss makes the range prefilter silently drop rows. Round-4 fix:
+    exact cross-face neighbor expansion (a pure density raise missed
+    sliver cells where the bbox crosses a cube-face edge)."""
+
+    def _check(self, level, lon0, lat0, dlon, dlat, rng):
+        import numpy as np
+
+        from georeader_spark.kernels.s2cells import cell_id_np, cover_bbox
+
+        ranges = cover_bbox(lon0, lat0, lon0 + dlon, lat0 + dlat, level)
+        pl = rng.uniform(lon0, lon0 + dlon, 300)
+        pa = rng.uniform(lat0, lat0 + dlat, 300)
+        ids = cell_id_np(pl, pa, 29)
+        los = np.array([r[0] for r in ranges])
+        his = np.array([r[1] for r in ranges])
+        inr = ((ids[:, None] >= los[None, :])
+               & (ids[:, None] <= his[None, :])).any(axis=1)
+        assert inr.all(), (level, lon0, lat0, dlon, dlat)
+
+    def test_known_face_crossing_miss(self):
+        """The exact fuzz counterexample that motivated the fix: a bbox
+        straddling the +y/-z face edge at level 4."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        self._check(4, 123.01085428439717, -45.13005209680841,
+                    7.123158900925082, 7.901011552910407, rng)
+
+    def test_random_and_face_edge_biased_covers(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for _ in range(12):
+            self._check(int(rng.integers(3, 9)),
+                        float(rng.uniform(-175, 170)),
+                        float(rng.uniform(-85, 80)),
+                        float(rng.uniform(0.1, 4)),
+                        float(rng.uniform(0.1, 4)), rng)
+        # cube-face edge bands (lat ~±35.26 and lon multiples of 45)
+        for _ in range(12):
+            lon0 = float(rng.choice([-135, -90, -45, 0, 45, 90, 135])
+                         + rng.uniform(-2, 0.5))
+            lat0 = float(rng.choice([-35.3, 35.3, -45, 45])
+                         + rng.uniform(-2, 0.5))
+            self._check(int(rng.integers(3, 9)), lon0, lat0,
+                        float(rng.uniform(0.5, 3)),
+                        float(rng.uniform(0.5, 3)), rng)
+
+    def test_too_fine_level_raises(self):
+        import pytest as _pytest
+
+        from georeader_spark.kernels.s2cells import cover_bbox
+
+        with _pytest.raises(ValueError, match="coarser level"):
+            cover_bbox(-10, -10, 10, 10, 16)

@@ -337,7 +337,28 @@ def decode_geotiff(
         a = np.cumsum(a, axis=-1, dtype=a.dtype if a.dtype.kind == "f" else np.int64)
         return a.astype(arr.dtype)
 
-    out = np.zeros((nb, h, w), dtype=dtype)
+    # nodata comes from the FULL-RES IFD (needed up front: sparse
+    # tiles — offset=0/bytecount=0, the COG empty-block convention —
+    # read as nodata, matching GDAL)
+    nodata = None
+    nd = ifds[0].get(_T_GDAL_NODATA)
+    if nd:
+        try:
+            nodata = float(nd[0])
+        except ValueError:
+            pass
+    fill = 0
+    if nodata is not None:
+        if np.isnan(nodata):
+            fill = np.nan if np.dtype(dtype).kind == "f" else 0
+        else:
+            try:
+                fill = np.asarray(nodata).astype(dtype)
+                if float(fill) != float(nodata):
+                    fill = 0  # nodata not representable in dtype
+            except (ValueError, OverflowError):
+                fill = 0
+    out = np.full((nb, h, w), fill, dtype=dtype)
     if _T_TILE_WIDTH in tags:
         tw, th = tags[_T_TILE_WIDTH][0], tags[_T_TILE_LENGTH][0]
         offs, counts = tags[_T_TILE_OFFSETS], tags[_T_TILE_BYTE_COUNTS]
@@ -345,6 +366,8 @@ def decode_geotiff(
         tc = (w + tw - 1) // tw
         tiles_per_band = tr * tc
         for k, (o, c) in enumerate(zip(offs, counts)):
+            if c == 0:
+                continue  # sparse tile: stays at the fill value
             raw = buf[o : o + c]
             if comp == 8:
                 raw = zlib.decompress(raw)
@@ -373,6 +396,8 @@ def decode_geotiff(
         offs, counts = tags[_T_STRIP_OFFSETS], tags[_T_STRIP_BYTE_COUNTS]
         strips_per_band = (h + rps - 1) // rps
         for k, (o, c) in enumerate(zip(offs, counts)):
+            if c == 0:
+                continue  # sparse strip: stays at the fill value
             raw = buf[o : o + c]
             if comp == 8:
                 raw = zlib.decompress(raw)
@@ -420,11 +445,4 @@ def decode_geotiff(
             kid, _, _, val = gk[4 + 4 * i : 8 + 4 * i]
             if kid in (3072, 2048):
                 epsg = val
-    nodata = None
-    nd = base.get(_T_GDAL_NODATA)
-    if nd:
-        try:
-            nodata = float(nd[0])
-        except ValueError:
-            pass
     return out, t, epsg, nodata

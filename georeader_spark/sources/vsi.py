@@ -421,10 +421,14 @@ class RangedGeoTiff:
                 if planar == 2:
                     for b in range(nb):
                         k = b * tiles_per_band + i * tc + j
-                        needed.append((k, offs[k], counts[k]))
+                        # byte count 0 = sparse tile (the COG empty-tile
+                        # convention): leave the fill value, fetch nothing
+                        if counts[k]:
+                            needed.append((k, offs[k], counts[k]))
                 else:
                     k = i * tc + j
-                    needed.append((k, offs[k], counts[k]))
+                    if counts[k]:
+                        needed.append((k, offs[k], counts[k]))
 
         merged = merge_ranges([(o, c) for _, o, c in needed], self.max_gap)
         bufs: dict = {}

@@ -62,6 +62,40 @@ class TestGeoTiffKernel:
         _, t2, epsg, _ = decode_geotiff(buf)
         assert t2 == t and epsg == 4326
 
+    def test_sparse_tile_reads_as_nodata(self):
+        # COG sparse-block convention (offset=0, bytecount=0): GDAL
+        # returns nodata (or 0 without one). Patch tile 0's entries in
+        # the real byte stream — the on-disk form a sparse writer emits.
+        import struct
+
+        a = np.arange(2 * 40 * 40, dtype=np.int16).reshape(2, 40, 40)
+        a[a == -999] = 0
+        buf = bytearray(encode_geotiff(a, Affine.identity(), tile=32,
+                                       compress=True, nodata=-999))
+
+        def _patch_first(tag):
+            (ifd_off,) = struct.unpack_from("<I", buf, 4)
+            (n,) = struct.unpack_from("<H", buf, ifd_off)
+            for i in range(n):
+                t, ftype, count = struct.unpack_from(
+                    "<HHI", buf, ifd_off + 2 + 12 * i)
+                if t == tag:
+                    vpos = ifd_off + 2 + 12 * i + 8
+                    if count * 4 > 4:
+                        (vpos,) = struct.unpack_from("<I", buf, vpos)
+                    struct.pack_into("<I", buf, vpos, 0)
+                    return
+            raise AssertionError(f"tag {tag} not found")
+
+        _patch_first(324)  # TileOffsets[0] = 0
+        _patch_first(325)  # TileByteCounts[0] = 0
+        out, _, _, nodata = decode_geotiff(bytes(buf))
+        assert nodata == -999
+        assert (out[0, :32, :32] == -999).all()  # sparse band-0 tile
+        assert np.array_equal(out[0, 32:, :], a[0, 32:, :])
+        assert np.array_equal(out[0, :32, 32:], a[0, :32, 32:])
+        assert np.array_equal(out[1], a[1])
+
     def test_magic_rejects_non_tiff(self):
         with pytest.raises(ValueError):
             decode_geotiff(b"MM\x00*garbage")

@@ -163,6 +163,33 @@ class TestRangedGeoTiff:
         assert (rd.read_window(-50, -50, 20, 20) == -999).all()
         rd.close()
 
+    def test_sparse_tile_reads_as_fill(self, tif_file):
+        # COG sparse-tile convention: offset=0, bytecount=0 means the
+        # tile was never written; readers return the fill/nodata value
+        # and must not issue a byte-range for it.
+        from georeader_spark.sources.vsi import (
+            _T_TILE_BYTE_COUNTS,
+            _T_TILE_OFFSETS,
+        )
+
+        path, arr, _ = tif_file
+        src = LocalFileSource(path)
+        rd = RangedGeoTiff(src)
+        tags = rd.ifds[0]
+        # band 0 (planar=2), tile row 0 col 0 → flat index 0
+        tags[_T_TILE_OFFSETS][0] = 0
+        tags[_T_TILE_BYTE_COUNTS][0] = 0
+        win = rd.read_window(0, 0, 80, 80)
+        assert (win[0, :64, :64] == -999).all()  # sparse → nodata
+        np.testing.assert_array_equal(win[0, 64:, :], arr[0, 64:80, :80])
+        np.testing.assert_array_equal(win[0, :64, 64:], arr[0, :64, 64:80])
+        np.testing.assert_array_equal(win[1:], arr[1:, :80, :80])
+        # all-sparse window: zero data tiles fetched is legal
+        for k in range(len(tags[_T_TILE_BYTE_COUNTS])):
+            tags[_T_TILE_BYTE_COUNTS][k] = 0
+        assert (rd.read_window(0, 0, 200, 300) == -999).all()
+        rd.close()
+
     def test_overview_window(self, tif_file):
         path, _, _ = tif_file
         full = decode_geotiff(open(path, "rb").read(), overview=1)[0]

@@ -37,6 +37,11 @@ __all__ = [
     "hash_bucket_col",
     "hash_split_col",
     "pack_sequences",
+    "ngram_array_col",
+    "eval_ngrams",
+    "decontaminate",
+    "contaminated_ids",
+    "sample_by_domain",
 ]
 
 
@@ -153,6 +158,155 @@ def hash_split_col(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def ngram_array_col(text: Column, n: int) -> Column:
+    """Distinct lowercase whitespace token ``n``-grams of ``text`` as an
+    array column (empty for documents shorter than ``n`` tokens).
+    Matches the ANSI form ``string_split_regex(lower(trim(t)), '\\s+')``
+    + positional concat, so oracles can recompute it."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    nt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), nt - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    # sequence(0, negative) would count DOWN — guard short docs
+    return F.when(nt >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def eval_ngrams(
+    eval_docs: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """Distinct ``n``-grams of the eval corpus as ONE broadcastable row
+    ``{_eval_grams: array<string>}`` — the shape `decontaminate`
+    cross-joins against (constants as a broadcast relation, not plan
+    literals, so the gram set never bloats the plan tree)."""
+    return (
+        eval_docs.select(
+            F.explode(ngram_array_col(F.col(text_col), n)).alias("_g")
+        )
+        .distinct()
+        .agg(F.collect_set("_g").alias("_eval_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    threshold: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination (the standard pretraining hygiene step:
+    drop training documents sharing rare n-grams with held-out eval
+    data). Appends:
+
+    - ``eval_hits``: number of DISTINCT ``n``-grams of the document
+      that occur anywhere in ``eval_docs``,
+    - ``contaminated``: ``eval_hits >= threshold``.
+
+    Plan shape for 100 TB: the eval gram set (eval corpora are small
+    by construction) reduces to a single array row, broadcast; the
+    corpus side is ``array_intersect`` per document — whole-stage
+    codegen, ZERO corpus shuffle, bodies never move. When the eval
+    gram set is large enough that a per-row intersect probe hurts,
+    use :func:`contaminated_ids` (explode + broadcast hash join, only
+    matching grams shuffle) and mark via a broadcast semi-join on the
+    typically-tiny contaminated-id set.
+    """
+    grams = eval_ngrams(eval_docs, n, text_col)
+    hits = F.size(
+        F.array_intersect(
+            ngram_array_col(F.col(text_col), n), F.col("_eval_grams")
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(grams))
+        .withColumn("eval_hits", hits.cast("long"))
+        .drop("_eval_grams")
+        .withColumn("contaminated", F.col("eval_hits") >= F.lit(threshold))
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The join-shaped decontamination scale path: per-document distinct
+    grams explode map-side, broadcast-inner-join the eval gram table
+    (only MATCHING grams reach the aggregate), count per document.
+    Returns ``(id_col, eval_hits)`` for contaminated documents only —
+    equal to :func:`decontaminate`'s positive rows (pytest-pinned)."""
+    ev = (
+        eval_docs.select(
+            F.explode(ngram_array_col(F.col(text_col), n)).alias("_g")
+        ).distinct()
+    )
+    dg = docs.select(
+        id_col, F.explode(ngram_array_col(F.col(text_col), n)).alias("_g")
+    )
+    return (
+        dg.join(F.broadcast(ev), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("eval_hits"))
+    )
+
+
+def sample_by_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    broadcast_rates: bool = True,
+) -> DataFrame:
+    """Temperature-style domain rebalancing (the multilingual /
+    multi-source training-mix resample): per-domain keep rate
+    ``(min_count / count_domain) ** (1 - alpha)`` — ``alpha=1`` keeps
+    everything, ``alpha=0`` equalizes expected per-domain counts,
+    between values flatten the head. Appends ``keep_rate`` (rounded
+    to 6) and ``sampled``; the caller filters on ``sampled``.
+
+    The keep decision is md5-deterministic in ``id_col`` (no rand()),
+    so the sample is reproducible across retries/resumes and
+    re-derivable from the key alone — the same property as
+    :func:`hash_split_col`, and ANSI-expressible for oracles.
+
+    Plan shape: ONE aggregate over the domain key (tiny output), the
+    global min via a 1-row cross join, rates broadcast back onto the
+    corpus — the corpus itself never shuffles. For extreme domain
+    cardinality (rates table too big to broadcast) pass
+    ``broadcast_rates=False`` for a plain shuffle join on the domain
+    key.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_dc"))
+    mn = counts.agg(F.min("_dc").alias("_dcmin"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        domain_col,
+        F.round(
+            F.pow(F.col("_dcmin") / F.col("_dc"), F.lit(1.0 - alpha)), 6
+        ).alias("keep_rate"),
+    )
+    if broadcast_rates:
+        rates = F.broadcast(rates)
+    # uniform u in [0, 1) from the first 8 md5 hex digits — matches
+    # DuckDB: CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) / 2^32
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return df.join(rates, domain_col).withColumn("sampled", u < F.col("keep_rate"))
 
 
 def pack_sequences(

@@ -3300,7 +3300,15 @@ def q_text_stats(spark, sf_dir):
     its duplicate lines are the corpus's repeated tokens, which are
     plentiful — a bug in the sorted-adjacency dup scan is a hash
     mismatch, not a 0.0==0.0 coincidence. Real multi-line fixtures are
-    pytest-covered in tests/test_spark_operators.py."""
+    pytest-covered in tests/test_spark_operators.py.
+
+    Round-4 legs: eval-set DECONTAMINATION (traindata.decontaminate —
+    3-gram overlap of every document against the test-split docs as
+    the held-out eval corpus: single broadcast gram row +
+    array_intersect, zero corpus shuffle) and TEMPERATURE DOMAIN
+    SAMPLING (traindata.sample_by_domain over the skewed lang column,
+    alpha=0.5 — md5-deterministic keep decision, rates from one tiny
+    aggregate broadcast back)."""
     from .operators import traindata as TD
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3315,7 +3323,10 @@ def q_text_stats(spark, sf_dir):
         }
     )
     packed = TD.pack_sequences(rep, budget=512)
-    return packed.select(
+    eval_docs = docs.where(TD.hash_split_col(F.col("doc_id")) == "test")
+    decon = TD.decontaminate(packed, eval_docs, n=3)
+    samp = TD.sample_by_domain(decon, "lang", "doc_id", alpha=0.5)
+    return samp.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("quality"), 6).alias("quality"),
@@ -3328,6 +3339,10 @@ def q_text_stats(spark, sf_dir):
         "pack_first",
         "pack_last",
         "pack_off",
+        "eval_hits",
+        F.col("contaminated").cast("long").alias("contaminated"),
+        "keep_rate",
+        F.col("sampled").cast("long").alias("sampled"),
     )
 
 
@@ -3396,19 +3411,62 @@ SELECT doc_id, cum0 // 512 AS pack_first,
        cum0 % 512 AS pack_off
 FROM cum
 """
+    # decontamination twin: distinct 3-grams per doc, eval = test-split
+    # docs, hits = distinct grams shared with the eval set
+    decon_sql = rf"""
+WITH t3 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks[1:len(toks) - 2],
+                  (x, i) -> x || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             AS gram
+    FROM t3 WHERE len(toks) >= 3)
+),
+ev AS (
+  SELECT DISTINCT gram FROM dg
+  WHERE {bucket.replace('doc_id', 'dg.doc_id')} >= 95
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS eval_hits FROM dg JOIN ev USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.eval_hits, 0) AS eval_hits,
+       CAST(COALESCE(h.eval_hits, 0) >= 1 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+    # temperature sampling twin: lang counts -> keep rates -> md5 u
+    samp_sql = """
+WITH lc AS (SELECT lang, COUNT(*) AS dc FROM documents GROUP BY 1),
+mnv AS (SELECT MIN(dc) AS dcmin FROM lc),
+rates AS (
+  SELECT lang, ROUND(POWER(dcmin::DOUBLE / dc, 0.5), 6) AS keep_rate
+  FROM lc, mnv
+)
+SELECT d.doc_id, r.keep_rate,
+       CAST((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) / 4294967296.0) < r.keep_rate AS BIGINT) AS sampled
+FROM documents d JOIN rates r USING (lang)
+"""
     return f"""
 SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        r.dup_line_frac, r.dup_line_char_frac, r.top2gram_frac,
        CASE WHEN {bucket} < 90 THEN 'train'
             WHEN {bucket} < 95 THEN 'val'
             ELSE 'test' END AS split,
-       p.pack_first, p.pack_last, p.pack_off
+       p.pack_first, p.pack_last, p.pack_off,
+       c.eval_hits, c.contaminated, s.keep_rate, s.sampled
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)
 JOIN ({_fingerprints_sql()}) f USING (doc_id)
 JOIN ({rep_sql}) r USING (doc_id)
 JOIN ({pack_sql}) p USING (doc_id)
+JOIN ({decon_sql}) c USING (doc_id)
+JOIN ({samp_sql}) s USING (doc_id)
 """
 
 

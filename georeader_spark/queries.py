@@ -3313,11 +3313,18 @@ def q_text_stats(spark, sf_dir):
     Round-4 legs: eval-set DECONTAMINATION (traindata.decontaminate —
     3-gram overlap of every document against the test-split docs as
     the held-out eval corpus: single broadcast gram row +
-    array_intersect, zero corpus shuffle) and TEMPERATURE DOMAIN
+    array_intersect, zero corpus shuffle), TEMPERATURE DOMAIN
     SAMPLING (traindata.sample_by_domain over the skewed lang column,
     alpha=0.5 — md5-deterministic keep decision, rates from one tiny
-    aggregate broadcast back)."""
+    aggregate broadcast back), and EXACT-SUBSTRING duplicated-span
+    stats (dedup.duplicated_span_stats, the Lee et al. 2022 ExactSubstr
+    criterion at L=30 — char-gram inverted shuffle on 8-byte xxhash64
+    keys + gaps-and-islands interval merge; the SQL twin recomputes
+    with RAW grams, so a hash-path bug OR a collision-handling bug is
+    a mismatch; 67/500 docs carry dup spans at sf0.01 — non-vacuous
+    both ways)."""
     from .operators import traindata as TD
+    from .operators.dedup import duplicated_span_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = TS.quality_score_staged(docs)
@@ -3334,6 +3341,13 @@ def q_text_stats(spark, sf_dir):
     eval_docs = docs.where(TD.hash_split_col(F.col("doc_id")) == "test")
     decon = TD.decontaminate(packed, eval_docs, n=3)
     samp = TD.sample_by_domain(decon, "lang", "doc_id", alpha=0.5)
+    es = duplicated_span_stats(docs, length=30).select(
+        "doc_id",
+        F.col("n_dup_grams").alias("es_dup_grams"),
+        F.col("dup_chars").alias("es_dup_chars"),
+        F.col("dup_ratio").alias("es_dup_ratio"),
+    )
+    samp = samp.join(es, "doc_id")
     return samp.select(
         "doc_id",
         "n_tokens",
@@ -3351,6 +3365,9 @@ def q_text_stats(spark, sf_dir):
         F.col("contaminated").cast("long").alias("contaminated"),
         "keep_rate",
         F.col("sampled").cast("long").alias("sampled"),
+        "es_dup_grams",
+        "es_dup_chars",
+        "es_dup_ratio",
     )
 
 
@@ -3459,6 +3476,44 @@ SELECT d.doc_id, r.keep_rate,
              AS BIGINT) / 4294967296.0) < r.keep_rate AS BIGINT) AS sampled
 FROM documents d JOIN rates r USING (lang)
 """
+    # exact-substring duplicated-span twin (ExactSubstr, L=30): RAW
+    # char grams (the Spark side ships xxhash64 keys — the twin gates
+    # that diet), corpus-wide multiplicity, gaps-and-islands merge
+    es_len = 30
+    es_sql = f"""
+WITH d AS (SELECT doc_id, GREATEST(length(text) - {es_len - 1}, 0) AS n_grams,
+                  text FROM documents),
+g AS (SELECT doc_id, n_grams, CAST(i AS BIGINT) AS pos,
+             substr(text, CAST(i AS INT), {es_len}) AS g
+      FROM d, unnest(range(1, CAST(n_grams AS BIGINT) + 1)) AS t(i)
+      WHERE n_grams > 0),
+c AS (SELECT g, COUNT(*) AS n_occ FROM g GROUP BY g),
+dup AS (SELECT doc_id, n_grams, pos, pos + {es_len - 1} AS e
+        FROM g JOIN c USING (g) WHERE n_occ > 1),
+mk AS (SELECT doc_id, n_grams, pos, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS ni
+       FROM dup),
+isl AS (SELECT doc_id, n_grams, pos, e,
+          SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM mk),
+iagg AS (SELECT doc_id, n_grams, island, MIN(pos) AS s, MAX(e) AS ee,
+                COUNT(*) AS nm
+         FROM isl GROUP BY 1, 2, 3),
+perdoc AS (SELECT doc_id, SUM(ee - s + 1) AS dup_chars, SUM(nm) AS n_dup_grams
+           FROM iagg GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS es_dup_grams,
+       CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS es_dup_chars,
+       ROUND(COALESCE(pd.dup_chars, 0)
+             / GREATEST(CAST(d.n_grams + {es_len - 1} AS DOUBLE), 1.0), 6)
+         AS es_dup_ratio
+FROM d LEFT JOIN perdoc pd USING (doc_id)
+"""
     return f"""
 SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        r.dup_line_frac, r.dup_line_char_frac, r.top2gram_frac,
@@ -3466,7 +3521,8 @@ SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
             WHEN {bucket} < 95 THEN 'val'
             ELSE 'test' END AS split,
        p.pack_first, p.pack_last, p.pack_off,
-       c.eval_hits, c.contaminated, s.keep_rate, s.sampled
+       c.eval_hits, c.contaminated, s.keep_rate, s.sampled,
+       e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)
@@ -3475,6 +3531,7 @@ JOIN ({rep_sql}) r USING (doc_id)
 JOIN ({pack_sql}) p USING (doc_id)
 JOIN ({decon_sql}) c USING (doc_id)
 JOIN ({samp_sql}) s USING (doc_id)
+JOIN ({es_sql}) e USING (doc_id)
 """
 
 
@@ -3986,8 +4043,214 @@ SELECT host, COUNT(*) AS n_pages,
 FROM u GROUP BY host
 """
 
+WARC_N_PAGES = 2000
+
+#: host link-graph constants (shared by the Spark leg and the SQL twin):
+#: 1000 hosts = the pages generator's site id space; h%17==0 hosts are
+#: DANGLING (no out-links) to exercise mass redistribution; out-degree
+#: 1+h%4 with arithmetic destinations; every non-dangling host also
+#: links to hub host 7 (in-degree ~880 — the hot-key side of the
+#: groupBy(dst), absorbed map-side by the partial sum).
+PR_H = 1000
+PR_ITERS = 6
+PR_DAMPING = 0.85
+
+
+def _host_edges(spark):
+    """Deterministic host link graph as a DataFrame (src, dst)."""
+    h = spark.range(PR_H).select(F.col("id").alias("src"))
+    k_edges = (
+        h.where(F.col("src") % 17 != 0)
+        .select(
+            "src",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("src") % 4).cast("int"))
+            ).alias("k"),
+        )
+        .withColumn(
+            "d0",
+            F.pmod(
+                F.col("src") * (F.lit(2) * F.col("k") + 3)
+                + F.col("k") * F.col("k") + 1,
+                F.lit(PR_H),
+            ),
+        )
+        .select(
+            "src",
+            F.when(F.col("d0") == F.col("src"),
+                   F.pmod(F.col("d0") + 1, F.lit(PR_H)))
+            .otherwise(F.col("d0")).alias("dst"),
+        )
+    )
+    hub = (
+        h.where((F.col("src") % 17 != 0) & (F.col("src") != 7))
+        .select("src", F.lit(7).cast("long").alias("dst"))
+    )
+    return k_edges.unionByName(hub).distinct()
+
+
+def _host_edges_sql() -> str:
+    """The same graph in DuckDB SQL."""
+    return f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT src,
+         CASE WHEN d0 = src THEN (d0 + 1) % {PR_H} ELSE d0 END AS dst
+  FROM (
+    SELECT h.range AS src, CAST(k.i AS BIGINT) AS k,
+           (h.range * (2 * k.i + 3) + k.i * k.i + 1) % {PR_H} AS d0
+    FROM range(0, {PR_H}) h,
+         unnest(range(0, 4)) AS k(i)
+    WHERE h.range % 17 != 0 AND k.i <= h.range % 4
+  )
+  UNION ALL
+  SELECT range AS src, CAST(7 AS BIGINT) AS dst FROM range(0, {PR_H})
+  WHERE range % 17 != 0 AND range != 7
+)
+"""
+
+
+def q_pages_url_warc(spark, sf_dir):
+    """URL analysis + the WARC/1.0 (ISO 28500) codec round-trip + host
+    link-graph PageRank as one tagged union.
+
+    hosts leg: per-host page stats via Spark's native parse_url
+    (q_pages_url_stats — JVM-side, no UDF).
+
+    warc_plain / warc_gz legs: pages -> sources.warc.warc_files
+    (records built as pure JVM expressions — format_string/concat/
+    length; bounded per-file assembly via applyInPandas; one
+    deterministic gzip member per record for .warc.gz, the Common
+    Crawl layout) -> parse_warc (Arrow mapInPandas record walk, HTTP
+    envelope split) -> recovered (url, ts, status, content-type,
+    body). The DuckDB twin REGENERATES the page content independently
+    (sources.pages.pages_sql — the generator mirrored expression by
+    expression, html byte identity separately pinned) and compares
+    md5 of the recovered body bytes: any bug in WARC header
+    construction, Content-Length accounting (HTTP and WARC level),
+    record walking, gzip member framing, or the HTTP split surfaces
+    as a hash mismatch. warcinfo records are exercised (plain files
+    lead with one) and excluded by rec_type.
+
+    pagerank leg: power-iteration PageRank (operators/graph.pagerank —
+    one shuffle pair per iteration, dangling mass by conservation as a
+    broadcast 1-row agg, lineage cut per iteration) over the
+    deterministic host link graph, PR_ITERS=6 iterations at
+    d=0.85; the twin unrolls the identical recurrence as
+    6 chained CTEs, so rank values (rounded to 9 dp), the
+    dangling redistribution, and both degree directions are all
+    hash-gated. The hub host's ~880 in-links are the groupBy(dst) hot
+    key; degrees come from operators/graph.degrees."""
+    from .operators.graph import degrees, pagerank
+    from .sources.pages import pages as synth_pages
+    from .sources.warc import parse_warc, warc_files
+
+    p = synth_pages(spark, WARC_N_PAGES)
+
+    def warc_leg(compress, tag):
+        files = warc_files(p, records_per_file=50, compress=compress)
+        recs = parse_warc(files).where(F.col("rec_type") == "response")
+        return recs.select(
+            F.lit(tag).alias("part"), F.col("url").alias("k"),
+            F.col("warc_ts").cast("double").alias("v1"),
+            F.col("http_status").cast("double").alias("v2"),
+            F.length("html").cast("double").alias("v3"),
+            F.concat(F.md5("html"), F.lit("|"), F.col("content_type")).alias("v4"),
+        )
+
+    hosts = q_pages_url_stats(spark, sf_dir).select(
+        F.lit("hosts").alias("part"), F.col("host").alias("k"),
+        F.col("n_pages").cast("double").alias("v1"),
+        F.col("n_langs").cast("double").alias("v2"),
+        F.col("max_path_len").cast("double").alias("v3"),
+        F.lit("").alias("v4"),
+    )
+    edges = _host_edges(spark)
+    # host-level graph: the node table is tiny -> broadcast the ranks
+    # into the contribution join (the edge table never shuffles)
+    pr = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING,
+                  broadcast_ranks=True, checkpoint_every=2)
+    graph = (
+        pr.join(degrees(edges), "node", "left")
+        .select(
+            F.lit("pagerank").alias("part"),
+            F.format_string("site%05d.example", F.col("node")).alias("k"),
+            F.coalesce("out_deg", F.lit(0)).cast("double").alias("v1"),
+            F.coalesce("in_deg", F.lit(0)).cast("double").alias("v2"),
+            F.round("rank", 9).alias("v3"),
+            F.lit("").alias("v4"),
+        )
+    )
+    return (
+        hosts
+        .unionByName(warc_leg(False, "warc_plain"))
+        .unionByName(warc_leg(True, "warc_gz"))
+        .unionByName(graph)
+    )
+
+
+def _pagerank_sql() -> str:
+    """PageRank recurrence unrolled to PR_ITERS chained CTEs.
+
+    Every CTE is MATERIALIZED: DuckDB otherwise inlines CTE references,
+    and with c_i referenced twice per iteration (by m_i and r_i) the
+    inlined chain re-evaluates 2^PR_ITERS times — measured as a hang at
+    10 iterations; materialization makes the unrolled query linear."""
+    n = "(SELECT COUNT(*) FROM nodes)"
+    base = f"(1.0 - {PR_DAMPING}) / {n}"
+    blocks = [f"""
+edges AS MATERIALIZED ({_host_edges_sql()}),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+outd AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+ind AS MATERIALIZED (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.out_deg AS w
+       FROM edges e JOIN outd o USING (src)),
+r0 AS MATERIALIZED (SELECT node, 1.0 / {n} AS rank FROM nodes)"""]
+    for i in range(PR_ITERS):
+        blocks.append(f"""
+c{i + 1} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank * e.w) AS contrib
+       FROM ew e JOIN r{i} r ON r.node = e.src GROUP BY e.dst),
+m{i + 1} AS MATERIALIZED (SELECT 1.0 - COALESCE(SUM(contrib), 0.0) AS dangling
+       FROM c{i + 1}),
+r{i + 1} AS MATERIALIZED (SELECT n.node,
+             {base} + {PR_DAMPING} * (COALESCE(c.contrib, 0.0)
+                                      + m.dangling / {n}) AS rank
+       FROM nodes n LEFT JOIN c{i + 1} c USING (node) CROSS JOIN m{i + 1} m)""")
+    return (
+        "WITH " + ",".join(blocks) + f"""
+SELECT 'pagerank' AS part, printf('site%05d.example', CAST(r.node AS INT)) AS k,
+       CAST(COALESCE(o.out_deg, 0) AS DOUBLE) AS v1,
+       CAST(COALESCE(i.in_deg, 0) AS DOUBLE) AS v2,
+       ROUND(r.rank, 9) AS v3, '' AS v4
+FROM r{PR_ITERS} r
+LEFT JOIN outd o ON o.src = r.node
+LEFT JOIN ind i ON i.dst = r.node
+"""
+    )
+
+
+def _pages_url_warc_sql() -> str:
+    from .sources.pages import pages_sql
+
+    return f"""
+SELECT 'hosts' AS part, host AS k, CAST(n_pages AS DOUBLE) AS v1,
+       CAST(n_langs AS DOUBLE) AS v2, CAST(max_path_len AS DOUBLE) AS v3,
+       '' AS v4
+FROM ({Q_PAGES_URL_STATS_SQL}) u
+UNION ALL
+SELECT i.part, g.url AS k, CAST(g.ts_s AS DOUBLE) AS v1,
+       CAST(200 AS DOUBLE) AS v2,
+       CAST(octet_length(encode(g.html)) AS DOUBLE) AS v3,
+       md5(g.html) || '|text/html; charset=utf-8' AS v4
+FROM ({pages_sql(WARC_N_PAGES)}) g
+CROSS JOIN (SELECT unnest(['warc_plain', 'warc_gz']) AS part) i
+UNION ALL
+SELECT part, k, v1, v2, v3, v4 FROM ({_pagerank_sql()})
+"""
+
+
 REGISTRY.update(
-    {"pages_url_stats": (q_pages_url_stats, Q_PAGES_URL_STATS_SQL)}
+    {"pages_url_warc": (q_pages_url_warc, _pages_url_warc_sql())}
 )
 _oracle_gated = {n: v for n, v in REGISTRY.items() if v[1] is not None}
 _rows_only = {n: v for n, v in REGISTRY.items() if v[1] is None}

@@ -167,3 +167,74 @@ def pages(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> 
     return pages_with_truth(spark, n_rows, n_partitions).select(
         "url", "warc_ts", "html", "text", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin of the generator (for oracle_sql gates that need the page
+# CONTENT, not just the geotag arithmetic — e.g. the WARC round-trip's
+# md5(html) comparison). Mirrors pages_with_truth expression by
+# expression; tests/test_warc.py pins Spark-vs-DuckDB html byte
+# identity (md5 over UTF-8 bytes) so the two generators cannot drift
+# silently.
+# ---------------------------------------------------------------------------
+
+def _word_sql(salt: int) -> str:
+    """DuckDB twin of _word(id, salt) — 1-based list indexing."""
+    return (f"voc[CAST((id * {2 * salt + 17} + {salt * salt + 1}) % 9973 "
+            f"AS INT) % 64 + 1]")
+
+
+def pages_sql(n_rows: int) -> str:
+    """DuckDB SQL producing ``(id, url, ts_s, lang, html, text)`` for the
+    same ``n_rows`` as :func:`pages` — html as VARCHAR whose UTF-8 bytes
+    equal the Spark binary column byte-for-byte.
+
+    Formatting identity notes: every float formatted with %.4f sits on
+    a 1e-4 lattice (see :func:`lon_lat_cols`), so Java's HALF_UP and
+    C-style round-to-nearest agree (no decimal halfway case can arise
+    from a lattice double); %05d/%07d/%d agree trivially.
+    """
+    vocab = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    nc = len(HOT_CLUSTERS)
+    cl_lon = " ".join(f"WHEN {i} THEN {c[0]!r}" for i, c in enumerate(HOT_CLUSTERS))
+    cl_lat = " ".join(f"WHEN {i} THEN {c[1]!r}" for i, c in enumerate(HOT_CLUSTERS))
+    j1 = "(CAST((id * 7919) % 500 - 250 AS DOUBLE) / 10000.0)"
+    j2 = "(CAST((id * 104729) % 500 - 250 AS DOUBLE) / 10000.0)"
+    u_lon = f"({BBOX[0]!r} + CAST((id * 48271) % 400000 AS DOUBLE) / 10000.0)"
+    u_lat = f"({BBOX[1]!r} + CAST((id * 69621) % 250000 AS DOUBLE) / 10000.0)"
+    lon = (f"ROUND(CASE WHEN (id % {HOT_MOD}) < {HOT_MOD_HIT} "
+           f"THEN (CASE (id % {nc}) {cl_lon} END) + {j1} ELSE {u_lon} END, 4)")
+    lat = (f"ROUND(CASE WHEN (id % {HOT_MOD}) < {HOT_MOD_HIT} "
+           f"THEN (CASE (id % {nc}) {cl_lat} END) + {j2} ELSE {u_lat} END, 4)")
+    body1 = " || ' ' || ".join(_word_sql(10 + k) for k in range(8))
+    body2_list = ", ".join(_word_sql(10 + k) for k in range(8, 32))
+    return f"""
+SELECT id, url, ts_s, lang,
+       printf('<html><head><meta charset="utf-8">'
+              || '<meta name="geo.position" content="%s;%s">'
+              || '<title>%s</title></head>'
+              || '<body><h1>%s</h1><p>%s</p><p>%s</p>'
+              || '<script>var tracker = "%s";</script>'
+              || '</body></html>',
+              lat_s, lon_s, title, h1, body1, body2, url) AS html,
+       CASE WHEN n_extra > 0
+            THEN title || ' ' || h1 || ' ' || body1 || ' ' || body2
+            ELSE title || ' ' || h1 || ' ' || body1 END AS text
+FROM (
+  SELECT id,
+         printf('https://site%05d.example/page/%07d',
+                CAST((id * 131) % 1000 AS INT), CAST(id AS INT)) AS url,
+         {EPOCH_2024} + (id * 2654435761) % {TS_WINDOW_S} AS ts_s,
+         (['en','es','fr','de','pt'])[CAST((id * 31 + 7) % 5 AS INT) + 1] AS lang,
+         printf('%.4f', {lat}) AS lat_s,
+         printf('%.4f', {lon}) AS lon_s,
+         printf('Doc %d %s %s', id, {_word_sql(1)}, {_word_sql(2)}) AS title,
+         printf('%s %s %s', {_word_sql(3)}, {_word_sql(4)}, {_word_sql(5)}) AS h1,
+         {body1} AS body1,
+         CASE WHEN id % 24 > 0
+              THEN array_to_string(([{body2_list}])[1:CAST(id % 24 AS INT)], ' ')
+              ELSE '' END AS body2,
+         id % 24 AS n_extra
+  FROM (SELECT range AS id, {vocab} AS voc FROM range(0, {n_rows}))
+) b
+"""

@@ -1,0 +1,70 @@
+"""Exact-substring dedup stats (operators/dedup.duplicated_span_stats —
+the Lee et al. 2022 ExactSubstr criterion re-expressed as an L-gram
+inverted shuffle + gaps-and-islands interval merge)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from georeader_spark.operators.dedup import duplicated_span_stats
+
+
+def _stats(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = duplicated_span_stats(df, length=kw.pop("length", 10), **kw).collect()
+    return {r.doc_id: r for r in rows}
+
+
+def test_cross_doc_duplicate_span(spark):
+    shared = "0123456789abcdefghij"  # 20 chars, L=10 -> 11 grams each
+    docs = [(1, "X" * 5 + shared + "Y" * 5), (2, "P" * 7 + shared + "Q" * 3)]
+    out = _stats(spark, docs)
+    # the shared 20 chars are one merged island in each doc
+    for d in (1, 2):
+        assert out[d].dup_chars == 20
+        assert out[d].n_dup_grams == 11
+        assert out[d].dup_ratio == round(20 / 30, 6)
+
+
+def test_no_duplicates(spark):
+    out = _stats(spark, [(1, "abcdefghijklmnop"), (2, "ABCDEFGHIJKLMNOP")])
+    assert all(r.dup_chars == 0 and r.dup_ratio == 0.0 for r in out.values())
+    assert out[1].n_grams == 7
+
+
+def test_within_doc_repeat_marks_both_occurrences(spark):
+    # the criterion counts a second occurrence ANYWHERE, incl. the same doc
+    text = "0123456789" + "zz" + "0123456789"
+    out = _stats(spark, [(1, text)])
+    assert out[1].dup_chars == 20  # both copies marked, gap unmarked
+    assert out[1].dup_ratio == round(20 / 22, 6)
+
+
+def test_short_doc_zero_grams(spark):
+    out = _stats(spark, [(1, "short"), (2, "0123456789x0123456789")])
+    assert out[1].n_grams == 0 and out[1].dup_chars == 0
+    assert out[1].dup_ratio == 0.0
+    assert out[2].dup_chars == 20
+
+
+def test_adjacent_islands_merge(spark):
+    # two dup regions overlapping by construction merge into one island:
+    # doc 1 = A + B concatenated, docs 2/3 supply A and B separately
+    a, b = "0123456789", "abcdefghij"
+    out = _stats(spark, [(1, a + b), (2, a), (3, b)])
+    assert out[1].dup_chars == 20
+    assert out[1].n_dup_grams == 2  # only the two exact-copy grams
+    assert out[2].dup_chars == 10 and out[3].dup_chars == 10
+
+
+def test_hashed_matches_raw(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = sorted(
+        tuple(r) for r in duplicated_span_stats(docs, length=30).collect()
+    )
+    r = sorted(
+        tuple(r)
+        for r in duplicated_span_stats(docs, length=30, hashed=False).collect()
+    )
+    assert h == r
+    # non-vacuity: the corpus carries real duplicated spans
+    assert any(t[3] > 0 for t in h)

@@ -4139,7 +4139,19 @@ def q_pages_url_warc(spark, sf_dir):
     6 chained CTEs, so rank values (rounded to 9 dp), the
     dangling redistribution, and both degree directions are all
     hash-gated. The hub host's ~880 in-links are the groupBy(dst) hot
-    key; degrees come from operators/graph.degrees."""
+    key; degrees come from operators/graph.degrees.
+
+    cdx leg: the capture INDEX over the plain WARC files —
+    functions/url.surt_col (SURT urlkey: host labels reversed, JVM
+    exprs) + cdx_records (14-digit ts, payload digest, exact record
+    length from the walker). The twin recomputes the SURT key with
+    independent DuckDB string ops and the record length by
+    REBUILDING the full record text from the regenerated page — so
+    the CDX length field gates every byte of header+envelope
+    accounting a second, independent way (record offsets, which
+    depend on the xxhash64 file bucketing DuckDB lacks, are
+    pytest-gated instead: test_warc offset slicing)."""
+    from .functions.url import cdx_records
     from .operators.graph import degrees, pagerank
     from .sources.pages import pages as synth_pages
     from .sources.warc import parse_warc, warc_files
@@ -4180,11 +4192,21 @@ def q_pages_url_warc(spark, sf_dir):
             F.lit("").alias("v4"),
         )
     )
+    cdx = cdx_records(
+        parse_warc(warc_files(p, records_per_file=50, compress=False))
+    ).select(
+        F.lit("cdx").alias("part"), F.col("urlkey").alias("k"),
+        F.col("ts").cast("double").alias("v1"),
+        F.col("length").cast("double").alias("v2"),
+        F.col("status").cast("double").alias("v3"),
+        F.col("digest").alias("v4"),
+    )
     return (
         hosts
         .unionByName(warc_leg(False, "warc_plain"))
         .unionByName(warc_leg(True, "warc_gz"))
         .unionByName(graph)
+        .unionByName(cdx)
     )
 
 
@@ -4246,6 +4268,36 @@ FROM ({pages_sql(WARC_N_PAGES)}) g
 CROSS JOIN (SELECT unnest(['warc_plain', 'warc_gz']) AS part) i
 UNION ALL
 SELECT part, k, v1, v2, v3, v4 FROM ({_pagerank_sql()})
+UNION ALL
+SELECT 'cdx' AS part,
+       array_to_string(list_reverse(string_split(
+           regexp_extract(url, '^https?://([^/]+)', 1), '.')), ',')
+         || ')' || regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS k,
+       CAST(strftime(to_timestamp(ts_s), '%Y%m%d%H%M%S') AS DOUBLE) AS v1,
+       CAST(octet_length(encode(
+           'WARC/1.0' || crlf
+           || 'WARC-Type: response' || crlf
+           || 'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || crlf
+           || 'WARC-Date: ' || strftime(to_timestamp(ts_s),
+                                        '%Y-%m-%dT%H:%M:%SZ') || crlf
+           || 'WARC-Target-URI: ' || url || crlf
+           || 'Content-Type: application/http; msgtype=response' || crlf
+           || 'Content-Length: ' || http_len || crlf || crlf
+       )) + http_len + 4 AS DOUBLE) AS v2,
+       CAST(200 AS DOUBLE) AS v3,
+       md5(html) AS v4
+FROM (
+  SELECT url, ts_s, html,
+         octet_length(encode(
+             'HTTP/1.1 200 OK' || crlf
+             || 'Content-Type: text/html; charset=utf-8' || crlf
+             || 'Content-Length: ' || octet_length(encode(html))
+             || crlf || crlf
+         )) + octet_length(encode(html)) AS http_len,
+         crlf
+  FROM ({pages_sql(WARC_N_PAGES)}) g2,
+       (SELECT chr(13) || chr(10) AS crlf) c
+)
 """
 
 

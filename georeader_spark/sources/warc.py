@@ -191,6 +191,11 @@ PARSED_SCHEMA = StructType(
         StructField("http_status", IntegerType()),
         StructField("content_type", StringType()),
         StructField("html", BinaryType()),
+        # record position in the (decompressed) file byte stream —
+        # the CDX index fields; for .warc.gz these index the
+        # concatenated decompressed members
+        StructField("offset", LongType()),
+        StructField("rec_len", LongType()),
     ]
 )
 
@@ -206,7 +211,12 @@ def _gunzip_members(buf: bytes) -> bytes:
 
 
 def _walk_records(buf: bytes):
-    """Yield (header_dict, block_bytes) per WARC record in ``buf``."""
+    """Yield (header_dict, block_bytes, start, length) per WARC record.
+
+    ``start`` is the record's first byte and ``length`` the full record
+    size INCLUDING the two trailing CRLFs (the CDX length convention:
+    consecutive records tile the file — offset_{k+1} = offset_k +
+    length_k)."""
     pos = 0
     n = len(buf)
     while pos < n:
@@ -215,6 +225,7 @@ def _walk_records(buf: bytes):
             pos += 2
         if pos >= n:
             return
+        start = pos
         hdr_end = buf.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             raise ValueError(f"truncated WARC header at byte {pos}")
@@ -233,8 +244,11 @@ def _walk_records(buf: bytes):
             raise ValueError(
                 f"truncated WARC block: want {clen}, have {len(block)}"
             )
-        yield fields, block
-        pos = block_start + clen
+        end = block_start + clen
+        if buf[end : end + 4] == (_CRLF * 2).encode():
+            end += 4
+        yield fields, block, start, end - start
+        pos = end
 
 
 def _parse_http_response(block: bytes):
@@ -283,7 +297,7 @@ def parse_warc(
                 buf = bytes(blob)
                 if buf[:2] == b"\x1f\x8b":
                     buf = _gunzip_members(buf)
-                for fields, block in _walk_records(buf):
+                for fields, block, start, length in _walk_records(buf):
                     rtype = fields.get("warc-type", "")
                     ts = pd.Timestamp(fields["warc-date"]).tz_convert(None) \
                         if "warc-date" in fields else None
@@ -298,6 +312,8 @@ def parse_warc(
                     rows["http_status"].append(status)
                     rows["content_type"].append(ctype)
                     rows["html"].append(body)
+                    rows["offset"].append(start)
+                    rows["rec_len"].append(length)
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(_parse, PARSED_SCHEMA)

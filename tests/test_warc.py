@@ -64,7 +64,8 @@ def test_file_bounds_and_warcinfo(spark, small_pages):
     assert sum(r.n_records for r in rows) == 200
     # plain files lead with a warcinfo record
     first = bytes(rows[0].content)
-    hdrs, block = next(_walk_records(first))
+    hdrs, block, start, length = next(_walk_records(first))
+    assert start == 0
     assert hdrs["warc-type"] == "warcinfo"
     assert b"georeader-spark" in block
     # parse surfaces warcinfo rows with NULL html

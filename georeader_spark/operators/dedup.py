@@ -400,41 +400,13 @@ def ngram_jaccard_pairs(
 # >= L, one groupBy wide of all-pairs-free.
 # ---------------------------------------------------------------------------
 
-def duplicated_span_stats(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    length: int = 40,
-    hashed: bool = True,
-) -> DataFrame:
-    """Per-document duplicated-substring statistics.
+def _dup_islands(
+    docs: DataFrame, id_col: str, text_col: str, length: int, hashed: bool
+):
+    """Shared core: (base docs with gram counts, merged dup islands).
 
-    Every char ``length``-gram of every document is emitted as
-    ``(gram, doc, pos)``; a gram whose corpus-wide occurrence count
-    exceeds 1 (it appears in another document, or again in the same
-    one — the paper's criterion) marks ``[pos, pos+length)`` as
-    duplicated. Overlapping marked intervals merge
-    per document (gaps-and-islands window, no UDF) into exact
-    duplicated-char counts.
-
-    Returns ``(id_col, n_grams, n_dup_grams, dup_chars, dup_ratio)``
-    — ``dup_ratio`` = duplicated chars / total chars.
-
-    Scale notes (100 TB):
-    - the gram explode is the honest cost of the ExactSubstr
-      criterion: ~|text| rows per doc, ONE wide shuffle on the gram
-      key (the suffix-array sort of the paper, re-expressed). With
-      ``hashed=True`` each gram travels as an 8-byte ``xxhash64``
-      instead of ``length`` chars — a ``length``× shuffle-byte diet;
-      collisions (p ~ n²/2⁶⁴) can only over-mark a span, never miss
-      one. ``hashed=False`` keeps raw grams for the DuckDB oracle
-      twin; a pytest pins both paths to identical output.
-    - the dup-gram decision is a partial-agg-friendly count;
-      boilerplate grams (the hot keys) aggregate map-side before the
-      shuffle, so a billion-copy footer costs one row per partition,
-      not a hot reducer.
-    - the interval merge windows by (doc, pos) — partition-local
-      after one repartition on doc id, bounded by document length.
+    base = ``(id_col, _t, n_grams)``; islands = one row per maximal
+    duplicated interval ``(id_col, n_grams, s, e, n_marks)``.
     """
     n_grams_c = F.greatest(
         F.lit(0), F.length(F.col(text_col)) - F.lit(length - 1)
@@ -474,6 +446,46 @@ def duplicated_span_stats(
         F.min("pos").alias("s"), F.max("end").alias("e"),
         F.count("*").alias("n_marks"),
     )
+    return base, islands
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 40,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics.
+
+    Every char ``length``-gram of every document is emitted as
+    ``(gram, doc, pos)``; a gram whose corpus-wide occurrence count
+    exceeds 1 (it appears in another document, or again in the same
+    one — the paper's criterion) marks ``[pos, pos+length)`` as
+    duplicated. Overlapping marked intervals merge
+    per document (gaps-and-islands window, no UDF) into exact
+    duplicated-char counts.
+
+    Returns ``(id_col, n_grams, n_dup_grams, dup_chars, dup_ratio)``
+    — ``dup_ratio`` = duplicated chars / total chars.
+
+    Scale notes (100 TB):
+    - the gram explode is the honest cost of the ExactSubstr
+      criterion: ~|text| rows per doc, ONE wide shuffle on the gram
+      key (the suffix-array sort of the paper, re-expressed). With
+      ``hashed=True`` each gram travels as an 8-byte ``xxhash64``
+      instead of ``length`` chars — a ``length``× shuffle-byte diet;
+      collisions (p ~ n²/2⁶⁴) can only over-mark a span, never miss
+      one. ``hashed=False`` keeps raw grams for the DuckDB oracle
+      twin; a pytest pins both paths to identical output.
+    - the dup-gram decision is a partial-agg-friendly count;
+      boilerplate grams (the hot keys) aggregate map-side before the
+      shuffle, so a billion-copy footer costs one row per partition,
+      not a hot reducer.
+    - the interval merge windows by (doc, pos) — partition-local
+      after one repartition on doc id, bounded by document length.
+    """
+    base, islands = _dup_islands(docs, id_col, text_col, length, hashed)
     per_doc = islands.groupBy(id_col, "n_grams").agg(
         (F.sum(F.col("e") - F.col("s") + 1)).alias("dup_chars"),
         F.sum("n_marks").alias("n_dup_grams"),
@@ -491,3 +503,72 @@ def duplicated_span_stats(
             6,
         ).alias("dup_ratio"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 40,
+    hashed: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cut every duplicated span out of every document (the removal
+    half of the ExactSubstr pipeline: the paper's released tool cuts
+    marked spans from the corpus after the criterion pass).
+
+    Policy: EVERY marked occurrence is removed (order-independent —
+    a keep-one-copy policy needs a global occurrence order, a
+    cross-document dependency that serializes the corpus; layer
+    :func:`dedup_exact` keep-first on top when one canonical copy
+    must survive). Documents with no duplicated span pass through
+    unchanged; a document that is one big duplicated island comes
+    back as ``''``.
+
+    Mechanics: the merged islands (shared :func:`_dup_islands` core —
+    same one-shuffle gram pass as :func:`duplicated_span_stats`) turn
+    into KEPT segments via a lag window per document (segment k =
+    text between island k-1's end and island k's start), concatenated
+    in order with one groupBy — all JVM expressions, no UDF; per-doc
+    work is bounded by document length.
+
+    Returns ``(id_col, out_col)`` for every input document.
+    """
+    base, islands = _dup_islands(docs, id_col, text_col, length, hashed)
+    w = Window.partitionBy(id_col).orderBy("s")
+    segs = islands.withColumn(
+        "seg_start", F.coalesce(F.lag("e").over(w) + 1, F.lit(1))
+    )
+    pieces = (
+        segs.join(base, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "s",
+                                F.substring(
+                                    F.col("_t"), F.col("seg_start"),
+                                    F.col("s") - F.col("seg_start"),
+                                ).alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("head"),
+            F.max("e").alias("last_e"),
+        )
+    )
+    out = base.join(pieces, id_col, "left")
+    tail = F.substring(
+        F.col("_t"), F.col("last_e") + 1,
+        F.greatest(F.length("_t") - F.col("last_e"), F.lit(0)),
+    )
+    clean = F.when(F.col("last_e").isNull(), F.col("_t")).otherwise(
+        F.concat(F.coalesce(F.col("head"), F.lit("")), tail)
+    )
+    return out.select(id_col, clean.alias(out_col))

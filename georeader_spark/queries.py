@@ -3322,9 +3322,12 @@ def q_text_stats(spark, sf_dir):
     keys + gaps-and-islands interval merge; the SQL twin recomputes
     with RAW grams, so a hash-path bug OR a collision-handling bug is
     a mismatch; 67/500 docs carry dup spans at sf0.01 — non-vacuous
-    both ways)."""
+    both ways). The REMOVAL half (dedup.remove_duplicated_spans — cut
+    every marked span, lag-window segment rebuild, no UDF) is gated
+    by es_clean_md5: the twin rebuilds the cleaned text in SQL, so a
+    single lost or shifted character breaks the hash."""
     from .operators import traindata as TD
-    from .operators.dedup import duplicated_span_stats
+    from .operators.dedup import duplicated_span_stats, remove_duplicated_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = TS.quality_score_staged(docs)
@@ -3347,7 +3350,11 @@ def q_text_stats(spark, sf_dir):
         F.col("dup_chars").alias("es_dup_chars"),
         F.col("dup_ratio").alias("es_dup_ratio"),
     )
-    samp = samp.join(es, "doc_id")
+    rm = remove_duplicated_spans(docs, length=30).select(
+        "doc_id",
+        F.md5(F.encode("clean_text", "UTF-8")).alias("es_clean_md5"),
+    )
+    samp = samp.join(es, "doc_id").join(rm, "doc_id")
     return samp.select(
         "doc_id",
         "n_tokens",
@@ -3368,6 +3375,7 @@ def q_text_stats(spark, sf_dir):
         "es_dup_grams",
         "es_dup_chars",
         "es_dup_ratio",
+        "es_clean_md5",
     )
 
 
@@ -3505,14 +3513,29 @@ iagg AS (SELECT doc_id, n_grams, island, MIN(pos) AS s, MAX(e) AS ee,
                 COUNT(*) AS nm
          FROM isl GROUP BY 1, 2, 3),
 perdoc AS (SELECT doc_id, SUM(ee - s + 1) AS dup_chars, SUM(nm) AS n_dup_grams
-           FROM iagg GROUP BY 1)
+           FROM iagg GROUP BY 1),
+segs AS (SELECT doc_id, s, ee,
+           COALESCE(LAG(ee) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1)
+             AS seg_start
+         FROM iagg),
+heads AS (SELECT sg.doc_id,
+            string_agg(substr(d.text, CAST(sg.seg_start AS INT),
+                              CAST(sg.s - sg.seg_start AS INT)),
+                       '' ORDER BY sg.s) AS head,
+            MAX(sg.ee) AS last_e
+          FROM segs sg JOIN d USING (doc_id) GROUP BY sg.doc_id)
 SELECT d.doc_id,
        CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS es_dup_grams,
        CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS es_dup_chars,
        ROUND(COALESCE(pd.dup_chars, 0)
              / GREATEST(CAST(d.n_grams + {es_len - 1} AS DOUBLE), 1.0), 6)
-         AS es_dup_ratio
+         AS es_dup_ratio,
+       md5(CASE WHEN h.last_e IS NULL THEN d.text
+                ELSE COALESCE(h.head, '')
+                     || substr(d.text, CAST(h.last_e + 1 AS INT)) END)
+         AS es_clean_md5
 FROM d LEFT JOIN perdoc pd USING (doc_id)
+     LEFT JOIN heads h USING (doc_id)
 """
     return f"""
 SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
@@ -3522,7 +3545,7 @@ SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
             ELSE 'test' END AS split,
        p.pack_first, p.pack_last, p.pack_off,
        c.eval_hits, c.contaminated, s.keep_rate, s.sampled,
-       e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio
+       e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio, e.es_clean_md5
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)

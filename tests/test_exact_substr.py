@@ -68,3 +68,75 @@ def test_hashed_matches_raw(spark, sf_dir):
     assert h == r
     # non-vacuity: the corpus carries real duplicated spans
     assert any(t[3] > 0 for t in h)
+
+
+class TestRemoval:
+    def test_cut_semantics(self, spark):
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        shared = "0123456789abcdefghij"
+        docs = [(1, "X" * 5 + shared + "Y" * 5),
+                (2, "P" * 7 + shared + "Q" * 3),
+                (3, "no duplicates whatsoever in here")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(df, length=10).collect()}
+        # every marked occurrence removed, unmarked text untouched
+        assert out[1] == "X" * 5 + "Y" * 5
+        assert out[2] == "P" * 7 + "Q" * 3
+        assert out[3] == docs[2][1]
+
+    def test_whole_doc_duplicate_becomes_empty(self, spark):
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        df = spark.createDataFrame(
+            [(1, "0123456789"), (2, "0123456789")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(df, length=10).collect()}
+        assert out == {1: "", 2: ""}
+
+    def test_matches_bruteforce_reference(self, spark, sf_dir):
+        """Char-marking reference implementation over the real corpus."""
+        from collections import Counter
+
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text").collect()
+        L = 30
+        c = Counter()
+        for r in rows:
+            t = r.text
+            for i in range(max(len(t) - L + 1, 0)):
+                c[t[i:i + L]] += 1
+
+        def clean(t):
+            marks = [False] * len(t)
+            for i in range(max(len(t) - L + 1, 0)):
+                if c[t[i:i + L]] > 1:
+                    for j in range(i, i + L):
+                        marks[j] = True
+            return "".join(ch for ch, m in zip(t, marks) if not m)
+
+        ref = {r.doc_id: clean(r.text) for r in rows}
+        got = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(
+                   spark.createDataFrame(rows), length=L).collect()}
+        assert got == ref
+        assert any(ref[r.doc_id] != r.text for r in rows)  # non-vacuous
+
+    def test_stats_consistency(self, spark, sf_dir):
+        """length(text) - length(clean) == dup_chars, doc by doc."""
+        from georeader_spark.operators.dedup import (
+            duplicated_span_stats, remove_duplicated_spans)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        st = {r.doc_id: r.dup_chars for r in
+              duplicated_span_stats(docs, length=30).collect()}
+        texts = {r.doc_id: len(r.text) for r in
+                 docs.select("doc_id", "text").collect()}
+        cl = {r.doc_id: len(r.clean_text) for r in
+              remove_duplicated_spans(docs, length=30).collect()}
+        for d in st:
+            assert texts[d] - cl[d] == st[d]

@@ -4173,7 +4173,19 @@ def q_pages_url_warc(spark, sf_dir):
     the CDX length field gates every byte of header+envelope
     accounting a second, independent way (record offsets, which
     depend on the xxhash64 file bucketing DuckDB lacks, are
-    pytest-gated instead: test_warc offset slicing)."""
+    pytest-gated instead: test_warc offset slicing).
+
+    robots leg: RFC 9309 crawl-permission filtering
+    (functions/robots.parse_robots + check_allowed — rules exploded
+    JVM-side, wildcard/$ patterns compiled to anchored regexes,
+    longest-match-allow-wins via one max(struct) aggregate, rules
+    broadcast so the url side never shuffles). Three deterministic
+    robots.txt shapes per host (prefix precedence pair, wildcard+$
+    anchor, specific-group-only); the twin recomputes every
+    allowed/rule_len decision in closed form from the generator
+    arithmetic — a parsing, regex-compilation, or precedence bug
+    flips a bit and breaks the hash."""
+    from .functions.robots import check_allowed, parse_robots
     from .functions.url import cdx_records
     from .operators.graph import degrees, pagerank
     from .sources.pages import pages as synth_pages
@@ -4224,12 +4236,39 @@ def q_pages_url_warc(spark, sf_dir):
         F.col("status").cast("double").alias("v3"),
         F.col("digest").alias("v4"),
     )
+    robots_body = F.when(
+        F.col("h") % 3 == 0,
+        F.lit("User-agent: *\nDisallow: /page/000\nAllow: /page/0003\n"),
+    ).when(
+        F.col("h") % 3 == 1,
+        F.lit("User-agent: *\nDisallow: /*7$\n"),
+    ).otherwise(
+        F.lit("User-agent: otherbot\nDisallow: /\n"),
+    )
+    robots_txt = spark.range(1000).select(
+        F.col("id").alias("h"),
+        F.format_string("site%05d.example", F.col("id")).alias("host"),
+    ).select("host", robots_body.alias("robots_txt"))
+    urls = spark.range(20000).select(
+        F.format_string(
+            "https://site%05d.example/page/%07d",
+            F.pmod(F.col("id") * 131, F.lit(1000)), F.col("id"),
+        ).alias("url")
+    )
+    allowed = check_allowed(urls, parse_robots(robots_txt), agent="*")
+    robots = allowed.select(
+        F.lit("robots").alias("part"), F.col("url").alias("k"),
+        F.col("allowed").cast("double").alias("v1"),
+        F.col("rule_len").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
+    )
     return (
         hosts
         .unionByName(warc_leg(False, "warc_plain"))
         .unionByName(warc_leg(True, "warc_gz"))
         .unionByName(graph)
         .unionByName(cdx)
+        .unionByName(robots)
     )
 
 
@@ -4291,6 +4330,32 @@ FROM ({pages_sql(WARC_N_PAGES)}) g
 CROSS JOIN (SELECT unnest(['warc_plain', 'warc_gz']) AS part) i
 UNION ALL
 SELECT part, k, v1, v2, v3, v4 FROM ({_pagerank_sql()})
+UNION ALL
+SELECT 'robots' AS part,
+       printf('https://site%05d.example/page/%07d',
+              CAST((range * 131) % 1000 AS INT), CAST(range AS INT)) AS k,
+       CAST(CASE
+         WHEN ((range * 131) % 1000) % 3 = 0 THEN
+           -- Disallow /page/000 (len 9) vs Allow /page/0003 (len 10):
+           -- longest match wins -> ids 3000..3999 allowed, other
+           -- ids < 10000 disallowed, ids >= 10000 unmatched (allowed)
+           CASE WHEN range // 1000 = 3 THEN 1
+                WHEN range < 10000 THEN 0 ELSE 1 END
+         WHEN ((range * 131) % 1000) % 3 = 1 THEN
+           -- Disallow /*7$ -> paths ending in 7
+           CASE WHEN range % 10 = 7 THEN 0 ELSE 1 END
+         ELSE 1  -- otherbot-only group: '*' unmatched -> allowed
+       END AS DOUBLE) AS v1,
+       CAST(CASE
+         WHEN ((range * 131) % 1000) % 3 = 0 THEN
+           CASE WHEN range // 1000 = 3 THEN 10
+                WHEN range < 10000 THEN 9 ELSE 0 END
+         WHEN ((range * 131) % 1000) % 3 = 1 THEN
+           CASE WHEN range % 10 = 7 THEN 4 ELSE 0 END
+         ELSE 0
+       END AS DOUBLE) AS v2,
+       0.0 AS v3, '' AS v4
+FROM range(0, 20000)
 UNION ALL
 SELECT 'cdx' AS part,
        array_to_string(list_reverse(string_split(

@@ -1,0 +1,127 @@
+"""N-gram language-model perplexity scoring (the CCNet-style quality
+signal: score every document by an LM trained on a trusted slice, keep
+the low-perplexity head / bucket into quality tiers).
+
+Word-bigram model with add-k smoothing — deterministic and closed-form,
+so the whole train+score pipeline is oracle-expressible:
+
+    logp(w_i | w_{i-1}) = ln( (c2(w_{i-1} w_i) + k) / (c1(w_{i-1}) + k·V) )
+    ppl(doc) = exp( -mean_i logp )
+
+where ``c2`` = bigram count in the training slice, ``c1`` = count of
+bigrams STARTING with the context word (the standard conditional
+denominator), ``V`` = training vocabulary size.
+
+Scale shape (100 TB corpus):
+- **train** is one shuffle: explode bigrams (computed JVM-side from a
+  whitespace split), groupBy count with map-side partials — boilerplate
+  bigrams (the hot keys) collapse per partition before moving.
+- **model size** is vocabulary-bounded, not corpus-bounded (word-level
+  grams saturate at ~10^7-10^8 distinct bigrams for web text); it
+  broadcasts, so **scoring never shuffles the corpus** — explode,
+  broadcast-join twice, partial-mean back to one row per doc. For
+  models past broadcast size, hash-partition both sides on the gram
+  (the corpus then shuffles (doc_id, gram) pairs, never bodies).
+- every count/probability is integer-or-closed-form — two engines
+  agree to the last ulp before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col):
+    return F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT)
+
+
+def _bigrams(tok_col):
+    """Array of 'w_i w_{i+1}' strings (JVM transform, no UDF)."""
+    return F.transform(
+        F.slice(tok_col, 1, F.greatest(F.size(tok_col) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(tok_col, i + 2)),
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train on ``docs`` → (bigram counts, context counts, vocab size).
+
+    Returns ``(c2: (gram, c2), c1: (ctx, c1), v)`` — c1 counts bigrams
+    per context word (the conditional denominator), v is the distinct
+    token count of the training slice (one small agg job).
+    """
+    toks = docs.select(_tokens(F.col(text_col)).alias("_toks"))
+    grams = toks.select(F.explode(_bigrams(F.col("_toks"))).alias("gram"))
+    c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
+    c1 = (
+        grams.select(F.split(F.col("gram"), " ")[0].alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = (
+        toks.select(F.explode("_toks").alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    return c2, c1, int(v)
+
+
+def perplexity(
+    docs: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    v: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under the trained model.
+
+    Returns ``(id_col, n_bigrams, ppl)``; documents with fewer than two
+    tokens get ``ppl`` NULL. Both model tables broadcast — the corpus
+    side never shuffles (one explode, two broadcast joins, one partial
+    mean back to doc granularity).
+    """
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    ex = toks.select(
+        id_col, F.explode_outer(_bigrams(F.col("_toks"))).alias("gram")
+    ).withColumn("ctx", F.split(F.col("gram"), " ")[0])
+    scored = (
+        ex.join(F.broadcast(c2), "gram", "left")
+        .join(F.broadcast(c1), "ctx", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("gram").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
+                ),
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("logp").alias("n_bigrams"),
+        # logppl is the oracle-stable form (magnitude ~10: rounding at
+        # 1e-6 sits ~8 orders above float noise; ppl itself is its
+        # monotone exp and inherits the gate)
+        F.round(-F.avg("logp"), digits).alias("logppl"),
+        F.round(F.exp(-F.avg("logp")), 2).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    ppl: DataFrame, edges: list[float], ppl_col: str = "ppl"
+) -> DataFrame:
+    """CCNet's head/middle/tail split generalized to arbitrary edges:
+    bucket i = docs with ``edges[i-1] <= ppl < edges[i]`` (expression
+    only — pair with a quantile pass to derive the edges)."""
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col(ppl_col) >= e, i + 1).otherwise(b)
+    return ppl.withColumn("ppl_bucket", b.cast("int"))

@@ -3325,9 +3325,19 @@ def q_text_stats(spark, sf_dir):
     both ways). The REMOVAL half (dedup.remove_duplicated_spans — cut
     every marked span, lag-window segment rebuild, no UDF) is gated
     by es_clean_md5: the twin rebuilds the cleaned text in SQL, so a
-    single lost or shifted character breaks the hash."""
+    single lost or shifted character breaks the hash.
+
+    LM-PERPLEXITY leg (operators/lm.py — the CCNet-style quality
+    signal): a word-bigram add-k LM trains on the train split (one
+    shuffle, map-side partials) and scores every document through two
+    BROADCAST joins — the corpus never shuffles. Gated as lm_bigrams +
+    lm_logppl (= -mean logp, 6 dp; perplexity is its monotone exp):
+    the twin re-trains and re-scores the identical closed-form model
+    in SQL, so a smoothing, denominator, or vocab-size bug is a hash
+    mismatch."""
     from .operators import traindata as TD
     from .operators.dedup import duplicated_span_stats, remove_duplicated_spans
+    from .operators.lm import train_bigram_lm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = TS.quality_score_staged(docs)
@@ -3354,7 +3364,16 @@ def q_text_stats(spark, sf_dir):
         "doc_id",
         F.md5(F.encode("clean_text", "UTF-8")).alias("es_clean_md5"),
     )
-    samp = samp.join(es, "doc_id").join(rm, "doc_id")
+    from .operators.lm import perplexity
+
+    train_docs = docs.where(TD.hash_split_col(F.col("doc_id")) == "train")
+    c2, c1, v = train_bigram_lm(train_docs)
+    lm = perplexity(docs, c2, c1, v).select(
+        "doc_id",
+        F.col("n_bigrams").alias("lm_bigrams"),
+        F.col("logppl").alias("lm_logppl"),
+    )
+    samp = samp.join(es, "doc_id").join(rm, "doc_id").join(lm, "doc_id")
     return samp.select(
         "doc_id",
         "n_tokens",
@@ -3376,6 +3395,8 @@ def q_text_stats(spark, sf_dir):
         "es_dup_chars",
         "es_dup_ratio",
         "es_clean_md5",
+        "lm_bigrams",
+        "lm_logppl",
     )
 
 
@@ -3537,6 +3558,40 @@ SELECT d.doc_id,
 FROM d LEFT JOIN perdoc pd USING (doc_id)
      LEFT JOIN heads h USING (doc_id)
 """
+    # bigram-LM perplexity twin: train on the train split (same md5
+    # bucket rule), add-k=0.5 smoothing, score every doc
+    lm_sql = rf"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+tr AS (SELECT toks FROM tk WHERE {bucket} < 90),
+tg AS (SELECT unnest(list_transform(toks[1:len(toks) - 1],
+                     (x, i) -> x || ' ' || toks[i + 1])) AS gram FROM tr),
+lc2 AS (SELECT gram, COUNT(*) AS c2 FROM tg GROUP BY 1),
+lc1 AS (SELECT string_split(gram, ' ')[1] AS ctx, COUNT(*) AS c1
+        FROM tg GROUP BY 1),
+lv AS (SELECT COUNT(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM tr)),
+ex AS (SELECT doc_id,
+              unnest(list_transform(toks[1:len(toks) - 1],
+                     (x, i) -> x || ' ' || toks[i + 1])) AS gram
+       FROM tk WHERE len(toks) >= 2),
+sc AS (SELECT e.doc_id,
+              ln((COALESCE(c2.c2, 0) + 0.5)
+                 / (COALESCE(c1.c1, 0) + 0.5 * lv.v)) AS logp
+       FROM ex e
+       LEFT JOIN lc2 c2 USING (gram)
+       LEFT JOIN lc1 c1 ON c1.ctx = string_split(e.gram, ' ')[1]
+       CROSS JOIN lv),
+lm AS (SELECT doc_id, COUNT(*) AS lm_bigrams,
+              ROUND(-AVG(logp), 6) AS lm_logppl
+       FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(lm.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
+       lm.lm_logppl
+FROM documents d LEFT JOIN lm USING (doc_id)
+"""
     return f"""
 SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        r.dup_line_frac, r.dup_line_char_frac, r.top2gram_frac,
@@ -3545,7 +3600,8 @@ SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
             ELSE 'test' END AS split,
        p.pack_first, p.pack_last, p.pack_off,
        c.eval_hits, c.contaminated, s.keep_rate, s.sampled,
-       e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio, e.es_clean_md5
+       e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio, e.es_clean_md5,
+       m.lm_bigrams, m.lm_logppl
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)
@@ -3555,6 +3611,7 @@ JOIN ({pack_sql}) p USING (doc_id)
 JOIN ({decon_sql}) c USING (doc_id)
 JOIN ({samp_sql}) s USING (doc_id)
 JOIN ({es_sql}) e USING (doc_id)
+JOIN ({lm_sql}) m USING (doc_id)
 """
 
 

@@ -4241,9 +4241,18 @@ def q_pages_url_warc(spark, sf_dir):
     anchor, specific-group-only); the twin recomputes every
     allowed/rule_len decision in closed form from the generator
     arithmetic — a parsing, regex-compilation, or precedence bug
-    flips a bit and breaks the hash."""
+    flips a bit and breaks the hash.
+
+    diff / diff_hosts legs: crawl snapshot reconciliation
+    (operators/crawl.crawl_diff — digests computed SCAN-SIDE so the
+    full-outer join moves (url, 16-byte digest), never bodies — and
+    host_change_rates, the recrawl-frequency rollup). Snapshot B
+    shifts the id window and mutates every 7th overlapping page, so
+    all four statuses occur; the twin recomputes each status and the
+    per-host churn counts in closed form."""
     from .functions.robots import check_allowed, parse_robots
     from .functions.url import cdx_records
+    from .operators.crawl import crawl_diff, host_change_rates
     from .operators.graph import degrees, pagerank
     from .sources.pages import pages as synth_pages
     from .sources.warc import parse_warc, warc_files
@@ -4319,6 +4328,28 @@ def q_pages_url_warc(spark, sf_dir):
         F.col("rule_len").cast("double").alias("v2"),
         F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
     )
+    pid = F.regexp_extract("url", r"/page/(\d+)", 1).cast("long")
+    snap_b = synth_pages(spark, 2600).where(pid >= 400).withColumn(
+        "html",
+        F.when(
+            pid % 7 == 0,
+            F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "UTF-8")),
+        ).otherwise(F.col("html")),
+    )
+    d = crawl_diff(p, snap_b)
+    diff = d.select(
+        F.lit("diff").alias("part"), F.col("url").alias("k"),
+        F.lit(0.0).alias("v1"), F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"), F.col("status").alias("v4"),
+    )
+    diff_hosts = host_change_rates(d).select(
+        F.lit("diff_hosts").alias("part"), F.col("host").alias("k"),
+        F.col("n_urls").cast("double").alias("v1"),
+        F.col("n_changed").cast("double").alias("v2"),
+        F.col("n_added").cast("double").alias("v3"),
+        F.format_string("%d|%.6f", F.col("n_removed"),
+                        F.col("change_rate")).alias("v4"),
+    )
     return (
         hosts
         .unionByName(warc_leg(False, "warc_plain"))
@@ -4326,6 +4357,8 @@ def q_pages_url_warc(spark, sf_dir):
         .unionByName(graph)
         .unionByName(cdx)
         .unionByName(robots)
+        .unionByName(diff)
+        .unionByName(diff_hosts)
     )
 
 
@@ -4387,6 +4420,36 @@ FROM ({pages_sql(WARC_N_PAGES)}) g
 CROSS JOIN (SELECT unnest(['warc_plain', 'warc_gz']) AS part) i
 UNION ALL
 SELECT part, k, v1, v2, v3, v4 FROM ({_pagerank_sql()})
+UNION ALL
+SELECT CASE WHEN grp = 'u' THEN 'diff' ELSE 'diff_hosts' END AS part,
+       k, v1, v2, v3, v4
+FROM (
+  WITH st AS (
+    SELECT range AS id,
+           printf('https://site%05d.example/page/%07d',
+                  CAST((range * 131) % 1000 AS INT), CAST(range AS INT)) AS url,
+           printf('site%05d.example', CAST((range * 131) % 1000 AS INT)) AS host,
+           CASE WHEN range < 400 THEN 'removed'
+                WHEN range >= {WARC_N_PAGES} THEN 'added'
+                WHEN range % 7 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM range(0, 2600)
+  )
+  SELECT 'u' AS grp, url AS k, 0.0 AS v1, 0.0 AS v2, 0.0 AS v3,
+         status AS v4
+  FROM st
+  UNION ALL
+  SELECT 'h' AS grp, host AS k,
+         CAST(COUNT(*) AS DOUBLE) AS v1,
+         CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS DOUBLE) AS v2,
+         CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS DOUBLE) AS v3,
+         printf('%d|%.6f',
+                CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                     AS INT),
+                ROUND(AVG(CASE WHEN status != 'unchanged'
+                               THEN 1.0 ELSE 0.0 END), 6)) AS v4
+  FROM st GROUP BY host
+)
 UNION ALL
 SELECT 'robots' AS part,
        printf('https://site%05d.example/page/%07d',

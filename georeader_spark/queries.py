@@ -4135,6 +4135,10 @@ PR_H = 1000
 PR_ITERS = 6
 PR_DAMPING = 0.85
 
+#: conjunctive search query for the index/search legs (moderately
+#: common corpus tokens — 277 hits of 500 docs at sf0.01)
+SEARCH_TERMS = ["batch", "scan", "merge"]
+
 
 def _host_edges(spark):
     """Deterministic host link graph as a DataFrame (src, dst)."""
@@ -4249,11 +4253,23 @@ def q_pages_url_warc(spark, sf_dir):
     host_change_rates, the recrawl-frequency rollup). Snapshot B
     shifts the id window and mutates every 7th overlapping page, so
     all four statuses occur; the twin recomputes each status and the
-    per-host churn counts in closed form."""
+    per-host churn counts in closed form.
+
+    index / search legs: inverted text index over the documents table
+    (operators/index.build_inverted_index — explode + two map-side-
+    partial groupBys; postings_digest = canonical doc:pos,pos;...
+    serialization md5'd per term) and conjunctive retrieval
+    (search_and: partition-prunable term filter + JVM array_intersect
+    fold — documents never touched). The twin rebuilds every posting
+    list (doc order AND token positions) and the AND-query hit set in
+    SQL; a tokenization, position, ordering, or intersection bug
+    breaks the hash."""
     from .functions.robots import check_allowed, parse_robots
     from .functions.url import cdx_records
     from .operators.crawl import crawl_diff, host_change_rates
     from .operators.graph import degrees, pagerank
+    from .operators.index import (
+        build_inverted_index, postings_digest, search_and)
     from .sources.pages import pages as synth_pages
     from .sources.warc import parse_warc, warc_files
 
@@ -4350,6 +4366,19 @@ def q_pages_url_warc(spark, sf_dir):
         F.format_string("%d|%.6f", F.col("n_removed"),
                         F.col("change_rate")).alias("v4"),
     )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_inverted_index(docs)
+    index_leg = postings_digest(idx).select(
+        F.lit("index").alias("part"), F.col("term").alias("k"),
+        F.col("df").cast("double").alias("v1"),
+        F.col("n_positions").cast("double").alias("v2"),
+        F.lit(0.0).alias("v3"), F.col("postings_md5").alias("v4"),
+    )
+    search_leg = search_and(idx, SEARCH_TERMS).select(
+        F.lit("search").alias("part"), F.col("doc").cast("string").alias("k"),
+        F.lit(0.0).alias("v1"), F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
+    )
     return (
         hosts
         .unionByName(warc_leg(False, "warc_plain"))
@@ -4359,6 +4388,8 @@ def q_pages_url_warc(spark, sf_dir):
         .unionByName(robots)
         .unionByName(diff)
         .unionByName(diff_hosts)
+        .unionByName(index_leg)
+        .unionByName(search_leg)
     )
 
 
@@ -4406,6 +4437,11 @@ LEFT JOIN ind i ON i.dst = r.node
 def _pages_url_warc_sql() -> str:
     from .sources.pages import pages_sql
 
+    search_pred = " AND ".join(
+        f"list_contains(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"'{t}')"
+        for t in SEARCH_TERMS
+    )
     return f"""
 SELECT 'hosts' AS part, host AS k, CAST(n_pages AS DOUBLE) AS v1,
        CAST(n_langs AS DOUBLE) AS v2, CAST(max_path_len AS DOUBLE) AS v3,
@@ -4420,6 +4456,34 @@ FROM ({pages_sql(WARC_N_PAGES)}) g
 CROSS JOIN (SELECT unnest(['warc_plain', 'warc_gz']) AS part) i
 UNION ALL
 SELECT part, k, v1, v2, v3, v4 FROM ({_pagerank_sql()})
+UNION ALL
+SELECT part, k, v1, v2, v3, v4 FROM (
+  WITH tk AS (
+    SELECT doc_id AS doc,
+           unnest(list_transform(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               (x, i) -> struct_pack(term := x, pos := i))) AS tp
+    FROM documents
+  ),
+  flat AS (SELECT doc, tp.term AS term, CAST(tp.pos AS BIGINT) AS pos
+           FROM tk WHERE tp.term != ''),
+  perdoc AS (SELECT term, doc, list_sort(list(pos)) AS positions
+             FROM flat GROUP BY 1, 2),
+  inv AS (SELECT term, COUNT(*) AS df, SUM(len(positions)) AS n_positions,
+          string_agg(CAST(doc AS VARCHAR) || ':' ||
+                     array_to_string(list_transform(positions,
+                                     x -> CAST(x AS VARCHAR)), ','),
+                     ';' ORDER BY doc) AS ser
+          FROM perdoc GROUP BY 1)
+  SELECT 'index' AS part, term AS k, CAST(df AS DOUBLE) AS v1,
+         CAST(n_positions AS DOUBLE) AS v2, 0.0 AS v3, md5(ser) AS v4
+  FROM inv
+  UNION ALL
+  SELECT 'search' AS part, CAST(doc_id AS VARCHAR) AS k,
+         0.0 AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4
+  FROM documents
+  WHERE {search_pred}
+)
 UNION ALL
 SELECT CASE WHEN grp = 'u' THEN 'diff' ELSE 'diff_hosts' END AS part,
        k, v1, v2, v3, v4

@@ -1,0 +1,89 @@
+"""Inverted index + boolean search (operators/index.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from georeader_spark.operators.index import (
+    build_inverted_index, postings_digest, search_and)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat and dog and cat"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_inverted_index(docs).persist()
+
+
+def test_postings_structure(idx):
+    rows = {r.term: r for r in idx.collect()}
+    # df counts documents, not occurrences
+    assert rows["the"].df == 2 and rows["the"].n_positions == 3
+    # positions are 1-based token indexes, sorted; postings doc-sorted
+    cat = rows["cat"]
+    assert [(p.doc, list(p.positions)) for p in cat.postings] == [
+        (1, [2]), (3, [1, 5])
+    ]
+    the = rows["the"]
+    assert [(p.doc, list(p.positions)) for p in the.postings] == [
+        (1, [1, 5]), (2, [1])
+    ]
+
+
+def test_search_and(spark, idx):
+    hits = sorted(r.doc for r in search_and(idx, ["cat", "sat"]).collect())
+    assert hits == [1]
+    hits = sorted(r.doc for r in search_and(idx, ["the"]).collect())
+    assert hits == [1, 2]
+    # a term absent from the index -> no document can match
+    assert search_and(idx, ["cat", "zebra"]).count() == 0
+    with pytest.raises(ValueError):
+        search_and(idx, [])
+
+
+def test_max_df_drops_stopword_class(spark):
+    docs = spark.createDataFrame(
+        [(i, "the filler%d" % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs, max_df=3)
+    terms = {r.term for r in idx.collect()}
+    assert "the" not in terms and "filler0" in terms
+
+
+def test_digest_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in postings_digest(build_inverted_index(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ref = sorted(tuple(r) for r in con.sql(r"""
+WITH tk AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                               (x, i) -> struct_pack(term := x, pos := i))) AS tp
+  FROM documents),
+flat AS (SELECT doc, tp.term AS term, CAST(tp.pos AS BIGINT) AS pos
+         FROM tk WHERE tp.term != ''),
+pd AS (SELECT term, doc, list_sort(list(pos)) AS positions
+       FROM flat GROUP BY 1, 2)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(len(positions)) AS BIGINT) AS n_positions,
+       md5(string_agg(CAST(doc AS VARCHAR) || ':' ||
+           array_to_string(list_transform(positions, x -> CAST(x AS VARCHAR)),
+                           ','), ';' ORDER BY doc)) AS postings_md5
+FROM pd GROUP BY term
+""").fetchall())
+    assert got == ref

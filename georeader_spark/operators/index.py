@@ -120,3 +120,54 @@ def search_and(idx: DataFrame, terms: list[str]) -> DataFrame:
         .alias("docs")
     )
     return hits.select(F.explode("docs").alias("doc"))
+
+
+def search_phrase(idx: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase retrieval via the positional index.
+
+    A document matches iff some position ``p`` has ``phrase[i]`` at
+    ``p + i`` for every i — computed by shifting each term's position
+    list by ``-i`` and intersecting (``array_intersect`` fold), the
+    classic positional-postings algorithm. Repeated words in the
+    phrase are handled (each slot pulls its own shifted copy of the
+    term's postings). Index rows touched: exactly the phrase's terms.
+
+    Returns ``(doc, n_matches)`` — documents containing the phrase and
+    how many starting positions match.
+    """
+    if not phrase:
+        raise ValueError("search_phrase needs at least one term")
+    k = len(phrase)
+
+    def _shift(col, off: int):
+        # NB: a single-arg lambda closing over `off` — a two-arg lambda
+        # would be read by transform() as (element, array_index)
+        return F.transform(col, lambda x: x - F.lit(off))
+
+    parts = []
+    for i, t in enumerate(phrase):
+        p = (
+            idx.where(F.col("term") == t.lower())
+            .select(F.explode("postings").alias("pp"))
+            .select(
+                F.col("pp.doc").alias("doc"),
+                _shift(F.col("pp.positions"), i).alias("shifted"),
+                F.lit(i).alias("slot"),
+            )
+        )
+        parts.append(p)
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy("doc").agg(
+        F.count_distinct("slot").alias("n_slots"),
+        F.aggregate(
+            F.collect_list("shifted"),
+            F.lit(None).cast("array<long>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.array_intersect(acc, x)
+            ),
+        ).alias("starts"),
+    )
+    return (
+        agg.where((F.col("n_slots") == k) & (F.size("starts") > 0))
+        .select("doc", F.size("starts").cast("long").alias("n_matches"))
+    )

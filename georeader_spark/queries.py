@@ -4139,6 +4139,9 @@ PR_DAMPING = 0.85
 #: common corpus tokens — 277 hits of 500 docs at sf0.01)
 SEARCH_TERMS = ["batch", "scan", "merge"]
 
+#: phrase query for the positional-index leg (46/500 docs at sf0.01)
+PHRASE_TERMS = ["table", "hash"]
+
 
 def _host_edges(spark):
     """Deterministic host link graph as a DataFrame (src, dst)."""
@@ -4260,16 +4263,18 @@ def q_pages_url_warc(spark, sf_dir):
     partial groupBys; postings_digest = canonical doc:pos,pos;...
     serialization md5'd per term) and conjunctive retrieval
     (search_and: partition-prunable term filter + JVM array_intersect
-    fold — documents never touched). The twin rebuilds every posting
-    list (doc order AND token positions) and the AND-query hit set in
-    SQL; a tokenization, position, ordering, or intersection bug
+    fold — documents never touched; search_phrase: the positional
+    shift-and-intersect algorithm, per-doc match counts). The twin
+    rebuilds every posting list (doc order AND token positions), the
+    AND-query hit set, and the phrase-occurrence counts in SQL; a
+    tokenization, position, ordering, shift, or intersection bug
     breaks the hash."""
     from .functions.robots import check_allowed, parse_robots
     from .functions.url import cdx_records
     from .operators.crawl import crawl_diff, host_change_rates
     from .operators.graph import degrees, pagerank
     from .operators.index import (
-        build_inverted_index, postings_digest, search_and)
+        build_inverted_index, postings_digest, search_and, search_phrase)
     from .sources.pages import pages as synth_pages
     from .sources.warc import parse_warc, warc_files
 
@@ -4379,6 +4384,11 @@ def q_pages_url_warc(spark, sf_dir):
         F.lit(0.0).alias("v1"), F.lit(0.0).alias("v2"),
         F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
     )
+    phrase_leg = search_phrase(idx, PHRASE_TERMS).select(
+        F.lit("phrase").alias("part"), F.col("doc").cast("string").alias("k"),
+        F.col("n_matches").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"), F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
+    )
     return (
         hosts
         .unionByName(warc_leg(False, "warc_plain"))
@@ -4390,6 +4400,7 @@ def q_pages_url_warc(spark, sf_dir):
         .unionByName(diff_hosts)
         .unionByName(index_leg)
         .unionByName(search_leg)
+        .unionByName(phrase_leg)
     )
 
 
@@ -4437,6 +4448,7 @@ LEFT JOIN ind i ON i.dst = r.node
 def _pages_url_warc_sql() -> str:
     from .sources.pages import pages_sql
 
+    phrase = " ".join(PHRASE_TERMS)
     search_pred = " AND ".join(
         f"list_contains(string_split_regex(lower(trim(text)), '\\s+'), "
         f"'{t}')"
@@ -4483,6 +4495,17 @@ SELECT part, k, v1, v2, v3, v4 FROM (
          0.0 AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4
   FROM documents
   WHERE {search_pred}
+  UNION ALL
+  SELECT 'phrase' AS part, CAST(doc_id AS VARCHAR) AS k,
+         CAST(COUNT(*) AS DOUBLE) AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks[1:len(toks) - 1],
+                  (x, i) -> x || ' ' || toks[i + 1])) AS gram
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+                   AS toks FROM documents)
+  ) WHERE gram = '{phrase}'
+  GROUP BY doc_id
 )
 UNION ALL
 SELECT CASE WHEN grp = 'u' THEN 'diff' ELSE 'diff_hosts' END AS part,

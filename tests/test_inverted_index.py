@@ -87,3 +87,24 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
 FROM pd GROUP BY term
 """).fetchall())
     assert got == ref
+
+
+def test_search_phrase(spark, idx):
+    from georeader_spark.operators.index import search_phrase
+
+    # docs: 1="the cat sat on the mat", 2="the dog sat", 3="cat and dog and cat"
+    got = {r.doc: r.n_matches
+           for r in search_phrase(idx, ["the", "cat"]).collect()}
+    assert got == {1: 1}
+    # phrase crossing repeated words
+    got = {r.doc: r.n_matches
+           for r in search_phrase(idx, ["and", "cat"]).collect()}
+    assert got == {3: 1}
+    # adjacent-only: "cat dog" never adjacent
+    assert search_phrase(idx, ["cat", "dog"]).count() == 0
+    # repeated term in the phrase
+    got = {r.doc: r.n_matches
+           for r in search_phrase(idx, ["the", "cat", "sat"]).collect()}
+    assert got == {1: 1}
+    with pytest.raises(ValueError):
+        search_phrase(idx, [])

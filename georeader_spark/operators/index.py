@@ -171,3 +171,76 @@ def search_phrase(idx: DataFrame, phrase: list[str]) -> DataFrame:
         agg.where((F.col("n_slots") == k) & (F.size("starts") > 0))
         .select("doc", F.size("starts").cast("long").alias("n_matches"))
     )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, dl) token counts — the BM25 length normalizer; one
+    narrow map, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("dl"),
+    )
+
+
+def score_bm25(
+    idx: DataFrame,
+    dls: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson/Spärck Jones):
+
+        score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|D|/avgdl))
+        idf(t)     = ln( (N - df + 0.5)/(df + 0.5) + 1 )
+
+    Disjunctive: any document containing at least one query term
+    scores. Index rows touched: the query's terms only (partition-
+    prunable); tf = positions length from the positional postings; N
+    and avgdl are two scalars from one tiny aggregate. The per-doc
+    sum is a map-side-partial groupBy over |terms| · df rows — the
+    documents themselves are never read.
+
+    Returns ``(doc, score)`` with score rounded to ``digits``.
+    """
+    if not terms:
+        raise ValueError("score_bm25 needs at least one term")
+    n_docs, avgdl = dls.agg(
+        F.count("*"), F.avg("dl")
+    ).first()
+    tl = [t.lower() for t in set(terms)]
+    hits = (
+        idx.where(F.col("term").isin(tl))
+        .select("term", "df", F.explode("postings").alias("pp"))
+        .select(
+            "term", "df",
+            F.col("pp.doc").alias("doc"),
+            F.size("pp.positions").cast("double").alias("tf"),
+        )
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = hits.join(F.broadcast(dls), "doc").select(
+        "doc",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+            )
+        ).alias("s"),
+    )
+    return scored.groupBy("doc").agg(
+        F.round(F.sum("s"), digits).alias("score")
+    )

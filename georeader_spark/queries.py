@@ -4264,17 +4264,20 @@ def q_pages_url_warc(spark, sf_dir):
     serialization md5'd per term) and conjunctive retrieval
     (search_and: partition-prunable term filter + JVM array_intersect
     fold — documents never touched; search_phrase: the positional
-    shift-and-intersect algorithm, per-doc match counts). The twin
-    rebuilds every posting list (doc order AND token positions), the
-    AND-query hit set, and the phrase-occurrence counts in SQL; a
-    tokenization, position, ordering, shift, or intersection bug
-    breaks the hash."""
+    shift-and-intersect algorithm, per-doc match counts; score_bm25:
+    Okapi BM25 ranked retrieval from df + positional tf + doc-length
+    normalizer, query terms' index rows only). The twin rebuilds
+    every posting list (doc order AND token positions), the AND-query
+    hit set, the phrase-occurrence counts, and every BM25 score (6 dp)
+    in SQL; a tokenization, position, ordering, shift, intersection,
+    idf, or length-normalization bug breaks the hash."""
     from .functions.robots import check_allowed, parse_robots
     from .functions.url import cdx_records
     from .operators.crawl import crawl_diff, host_change_rates
     from .operators.graph import degrees, pagerank
     from .operators.index import (
-        build_inverted_index, postings_digest, search_and, search_phrase)
+        build_inverted_index, doc_lengths, postings_digest, score_bm25,
+        search_and, search_phrase)
     from .sources.pages import pages as synth_pages
     from .sources.warc import parse_warc, warc_files
 
@@ -4384,6 +4387,11 @@ def q_pages_url_warc(spark, sf_dir):
         F.lit(0.0).alias("v1"), F.lit(0.0).alias("v2"),
         F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
     )
+    bm25_leg = score_bm25(idx, doc_lengths(docs), SEARCH_TERMS).select(
+        F.lit("bm25").alias("part"), F.col("doc").cast("string").alias("k"),
+        F.col("score").alias("v1"),
+        F.lit(0.0).alias("v2"), F.lit(0.0).alias("v3"), F.lit("").alias("v4"),
+    )
     phrase_leg = search_phrase(idx, PHRASE_TERMS).select(
         F.lit("phrase").alias("part"), F.col("doc").cast("string").alias("k"),
         F.col("n_matches").cast("double").alias("v1"),
@@ -4401,6 +4409,7 @@ def q_pages_url_warc(spark, sf_dir):
         .unionByName(index_leg)
         .unionByName(search_leg)
         .unionByName(phrase_leg)
+        .unionByName(bm25_leg)
     )
 
 
@@ -4449,6 +4458,7 @@ def _pages_url_warc_sql() -> str:
     from .sources.pages import pages_sql
 
     phrase = " ".join(PHRASE_TERMS)
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     search_pred = " AND ".join(
         f"list_contains(string_split_regex(lower(trim(text)), '\\s+'), "
         f"'{t}')"
@@ -4495,6 +4505,27 @@ SELECT part, k, v1, v2, v3, v4 FROM (
          0.0 AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4
   FROM documents
   WHERE {search_pred}
+  UNION ALL
+  SELECT 'bm25' AS part, CAST(doc AS VARCHAR) AS k,
+         ROUND(SUM(
+           ln((nd.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+         ), 6) AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4
+  FROM (
+    SELECT term, doc, CAST(len(positions) AS DOUBLE) AS tf,
+           COUNT(*) OVER (PARTITION BY term) AS df
+    FROM perdoc WHERE term IN ({terms_in})
+  ) f
+  JOIN (SELECT doc_id AS doc,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS BIGINT) AS dl
+        FROM documents) dl USING (doc)
+  CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents) nd
+  CROSS JOIN (SELECT AVG(CAST(len(list_filter(string_split_regex(
+                    lower(trim(text)), '\\s+'), x -> x != '')) AS BIGINT))
+                AS avgdl FROM documents) ad
+  GROUP BY doc, nd.n
   UNION ALL
   SELECT 'phrase' AS part, CAST(doc_id AS VARCHAR) AS k,
          CAST(COUNT(*) AS DOUBLE) AS v1, 0.0 AS v2, 0.0 AS v3, '' AS v4

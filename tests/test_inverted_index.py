@@ -108,3 +108,38 @@ def test_search_phrase(spark, idx):
     assert got == {1: 1}
     with pytest.raises(ValueError):
         search_phrase(idx, [])
+
+
+def test_bm25_closed_form(spark, idx):
+    import math
+
+    from georeader_spark.operators.index import doc_lengths, score_bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat and dog and cat"),
+        ],
+        "doc_id long, text string",
+    )
+    dls = doc_lengths(docs)
+    assert {r.doc: r.dl for r in dls.collect()} == {1: 6, 2: 3, 3: 5}
+    got = {r.doc: r.score for r in score_bm25(idx, dls, ["cat"]).collect()}
+    n, avgdl = 3, (6 + 3 + 5) / 3
+    idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)
+
+    def bm(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert got[1] == pytest.approx(round(bm(1, 6), 6), abs=2e-6)
+    assert got[3] == pytest.approx(round(bm(2, 5), 6), abs=2e-6)
+    assert 2 not in got  # no 'cat' in doc 2
+    # tf dominance: doc 3 (tf=2, shorter) outranks doc 1 (tf=1)
+    assert got[3] > got[1]
+    # multi-term sums per-term contributions
+    both = {r.doc: r.score
+            for r in score_bm25(idx, dls, ["cat", "dog"]).collect()}
+    assert set(both) == {1, 2, 3}
+    with pytest.raises(ValueError):
+        score_bm25(idx, dls, [])

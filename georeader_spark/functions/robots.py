@@ -126,14 +126,20 @@ def check_allowed(
     ``rules`` is broadcast: the corpus side never shuffles.
     """
     a = agent.lower()
-    host = F.parse_url(F.lower(F.col(url_col)), F.lit("HOST"))
+    # HOST is case-insensitive (lower to match the rules side); PATH
+    # matching is case-sensitive per RFC 9309 §2.2.2 — lowercasing the
+    # path while rule patterns keep their original case would make any
+    # rule containing an uppercase character unmatchable
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     path = F.coalesce(
-        F.parse_url(F.lower(F.col(url_col)), F.lit("PATH")), F.lit("/")
+        F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
     u = urls.select(F.col(url_col).alias("url"), host.alias("_h"),
                     path.alias("_p"))
-    r = rules.withColumnRenamed(rules.columns[0], "_h").where(
-        F.col("agent").isin(a, "*")
+    r = (
+        rules.withColumnRenamed(rules.columns[0], "_h")
+        .withColumn("_h", F.lower(F.col("_h")))
+        .where(F.col("agent").isin(a, "*"))
     )
     # specific group REPLACES the default group: build the per-host
     # EFFECTIVE rule set rules-side, BEFORE the url join — filtering

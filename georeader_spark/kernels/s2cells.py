@@ -264,8 +264,8 @@ def cell_neighbors_np(ids: np.ndarray, level: int) -> np.ndarray:
         for dj in (-1, 0, 1):
             if di == 0 and dj == 0:
                 continue
-            s = (np.float64(i0 + di * blk) + 0.5 * float(blk)) / _N
-            t = (np.float64(j0 + dj * blk) + 0.5 * float(blk)) / _N
+            s = ((i0 + di * blk).astype(np.float64) + 0.5 * float(blk)) / _N
+            t = ((j0 + dj * blk).astype(np.float64) + 0.5 * float(blk)) / _N
             u = _uv_from_st(s)
             v = _uv_from_st(t)
             x, y, z = _uv_to_xyz(face, u, v)

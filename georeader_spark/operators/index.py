@@ -207,7 +207,10 @@ def score_bm25(
     prunable); tf = positions length from the positional postings; N
     and avgdl are two scalars from one tiny aggregate. The per-doc
     sum is a map-side-partial groupBy over |terms| · df rows — the
-    documents themselves are never read.
+    documents themselves are never read. The doc-lengths join is a
+    plain shuffle join on ``doc`` (``dls`` has one row per document,
+    so it cannot broadcast at corpus scale; the hits side is bounded
+    by Σ df of the query terms and AQE will broadcast it when small).
 
     Returns ``(doc, score)`` with score rounded to ``digits``.
     """
@@ -229,7 +232,7 @@ def score_bm25(
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    scored = hits.join(F.broadcast(dls), "doc").select(
+    scored = hits.join(dls, "doc").select(
         "doc",
         (
             idf

@@ -103,13 +103,24 @@ def perplexity(
                     / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
                 ),
             ).alias("logp"),
+            F.when(
+                F.col("gram").isNotNull(), F.coalesce(F.col("c2"), F.lit(0))
+            ).alias("_c2"),
+            F.when(
+                F.col("gram").isNotNull(), F.coalesce(F.col("c1"), F.lit(0))
+            ).alias("_c1"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.count("logp").alias("n_bigrams"),
-        # logppl is the oracle-stable form (magnitude ~10: rounding at
-        # 1e-6 sits ~8 orders above float noise; ppl itself is its
-        # monotone exp and inherits the gate)
+        # integer-exact twins of the log-likelihood path: the summed
+        # model counts along the doc's bigram walk determine logppl
+        # closed-form, but sum in exact long arithmetic — these are the
+        # oracle-hashable columns (a transcendental avg-of-ln's last
+        # ulp depends on summation order and on the engine's libm, so
+        # logppl/ppl are pytest-gated instead)
+        F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("c2_sum"),
+        F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("c1_sum"),
         F.round(-F.avg("logp"), digits).alias("logppl"),
         F.round(F.exp(-F.avg("logp")), 2).alias("ppl"),
     )

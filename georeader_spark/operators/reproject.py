@@ -318,6 +318,25 @@ def resample_tiles(
                 + block[r0_ + 1, c0] * wr * (1 - wc)
                 + block[r0_ + 1, c0 + 1] * wr * wc
             )
+        elif method in ("bicubic", "cubic"):
+            # Keys cubic-convolution kernel, a = -0.5 (Catmull-Rom /
+            # GDAL `cubic` / OpenCV INTER_CUBIC): interpolating (exact
+            # at samples), partition of unity, reproduces quadratics.
+            # 4x4 support -> needs the default 3-px halo
+            fc2 = fc - 0.5
+            fr2 = fr - 0.5
+            c0 = np.clip(np.floor(fc2).astype(np.int64), 1, sw.width - 3)
+            r0_ = np.clip(np.floor(fr2).astype(np.int64), 1, sw.height - 3)
+            tx = np.clip(fc2 - c0, 0.0, 1.0)
+            ty = np.clip(fr2 - r0_, 0.0, 1.0)
+            wx = _keys_weights(tx)
+            wy = _keys_weights(ty)
+            out = np.zeros_like(tx)
+            for m in range(4):
+                row_acc = np.zeros_like(tx)
+                for n in range(4):
+                    row_acc += wx[n] * block[r0_ - 1 + m, c0 - 1 + n]
+                out += wy[m] * row_acc
         else:
             raise ValueError(f"unsupported method {method!r}")
 

@@ -131,7 +131,6 @@ def lang_id_col(text: Column) -> Column:
     best_cnt = F.lit(0)
     # iterate reversed so earlier languages win ties
     for lang, cnt in reversed(scores):
-        is_better = cnt >= best_cnt
         best = F.when(cnt >= F.greatest(best_cnt, F.lit(1)), F.lit(lang)).otherwise(best)
         best_cnt = F.greatest(cnt, best_cnt)
     return best

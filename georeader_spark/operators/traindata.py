@@ -290,11 +290,16 @@ def sample_by_domain(
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_dc"))
     mn = counts.agg(F.min("_dc").alias("_dcmin"))
+    ratio = F.col("_dcmin") / F.col("_dc")
+    # exponent 0.5 routes through sqrt: IEEE 754 requires sqrt (and /)
+    # correctly rounded, so two engines agree bit-for-bit — libm pow
+    # carries no such guarantee and its last-ulp drift under a 6-dp
+    # round is exactly the cross-engine hash flake class
+    exp = 1.0 - alpha
+    raw = F.sqrt(ratio) if exp == 0.5 else F.pow(ratio, F.lit(exp))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         domain_col,
-        F.round(
-            F.pow(F.col("_dcmin") / F.col("_dc"), F.lit(1.0 - alpha)), 6
-        ).alias("keep_rate"),
+        F.round(raw, 6).alias("keep_rate"),
     )
     if broadcast_rates:
         rates = F.broadcast(rates)

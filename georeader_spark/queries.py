@@ -3331,10 +3331,15 @@ def q_text_stats(spark, sf_dir):
     signal): a word-bigram add-k LM trains on the train split (one
     shuffle, map-side partials) and scores every document through two
     BROADCAST joins — the corpus never shuffles. Gated as lm_bigrams +
-    lm_logppl (= -mean logp, 6 dp; perplexity is its monotone exp):
-    the twin re-trains and re-scores the identical closed-form model
-    in SQL, so a smoothing, denominator, or vocab-size bug is a hash
-    mismatch."""
+    lm_c2_sum + lm_c1_sum (the summed model counts along each doc's
+    bigram walk — exact long arithmetic in both engines, and together
+    with n_bigrams they determine logppl closed-form): the twin
+    re-trains and re-joins the identical model in SQL, so a training,
+    join, or OOV-handling bug is a hash mismatch. The transcendental
+    logppl/ppl values themselves are pytest-gated (tests/test_lm.py) —
+    an avg-of-ln's last ulp depends on summation order and the
+    engine's libm build, which under a 6-dp round is a cross-engine
+    hash flake (the round-4 driver-red on this very query)."""
     from .operators import traindata as TD
     from .operators.dedup import duplicated_span_stats, remove_duplicated_spans
     from .operators.lm import train_bigram_lm
@@ -3371,7 +3376,8 @@ def q_text_stats(spark, sf_dir):
     lm = perplexity(docs, c2, c1, v).select(
         "doc_id",
         F.col("n_bigrams").alias("lm_bigrams"),
-        F.col("logppl").alias("lm_logppl"),
+        F.col("c2_sum").alias("lm_c2_sum"),
+        F.col("c1_sum").alias("lm_c1_sum"),
     )
     samp = samp.join(es, "doc_id").join(rm, "doc_id").join(lm, "doc_id")
     return samp.select(
@@ -3396,7 +3402,8 @@ def q_text_stats(spark, sf_dir):
         "es_dup_ratio",
         "es_clean_md5",
         "lm_bigrams",
-        "lm_logppl",
+        "lm_c2_sum",
+        "lm_c1_sum",
     )
 
 
@@ -3497,7 +3504,8 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WITH lc AS (SELECT lang, COUNT(*) AS dc FROM documents GROUP BY 1),
 mnv AS (SELECT MIN(dc) AS dcmin FROM lc),
 rates AS (
-  SELECT lang, ROUND(POWER(dcmin::DOUBLE / dc, 0.5), 6) AS keep_rate
+  -- sqrt, not POWER(x, 0.5): IEEE-correctly-rounded in every engine
+  SELECT lang, ROUND(SQRT(dcmin::DOUBLE / dc), 6) AS keep_rate
   FROM lc, mnv
 )
 SELECT d.doc_id, r.keep_rate,
@@ -3571,25 +3579,22 @@ tg AS (SELECT unnest(list_transform(toks[1:len(toks) - 1],
 lc2 AS (SELECT gram, COUNT(*) AS c2 FROM tg GROUP BY 1),
 lc1 AS (SELECT string_split(gram, ' ')[1] AS ctx, COUNT(*) AS c1
         FROM tg GROUP BY 1),
-lv AS (SELECT COUNT(DISTINCT t) AS v
-       FROM (SELECT unnest(toks) AS t FROM tr)),
 ex AS (SELECT doc_id,
               unnest(list_transform(toks[1:len(toks) - 1],
                      (x, i) -> x || ' ' || toks[i + 1])) AS gram
        FROM tk WHERE len(toks) >= 2),
 sc AS (SELECT e.doc_id,
-              ln((COALESCE(c2.c2, 0) + 0.5)
-                 / (COALESCE(c1.c1, 0) + 0.5 * lv.v)) AS logp
+              COALESCE(c2.c2, 0) AS mc2, COALESCE(c1.c1, 0) AS mc1
        FROM ex e
        LEFT JOIN lc2 c2 USING (gram)
-       LEFT JOIN lc1 c1 ON c1.ctx = string_split(e.gram, ' ')[1]
-       CROSS JOIN lv),
+       LEFT JOIN lc1 c1 ON c1.ctx = string_split(e.gram, ' ')[1]),
 lm AS (SELECT doc_id, COUNT(*) AS lm_bigrams,
-              ROUND(-AVG(logp), 6) AS lm_logppl
+              SUM(mc2) AS lm_c2_sum, SUM(mc1) AS lm_c1_sum
        FROM sc GROUP BY 1)
 SELECT d.doc_id,
        CAST(COALESCE(lm.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
-       lm.lm_logppl
+       CAST(COALESCE(lm.lm_c2_sum, 0) AS BIGINT) AS lm_c2_sum,
+       CAST(COALESCE(lm.lm_c1_sum, 0) AS BIGINT) AS lm_c1_sum
 FROM documents d LEFT JOIN lm USING (doc_id)
 """
     return f"""
@@ -3601,7 +3606,7 @@ SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        p.pack_first, p.pack_last, p.pack_off,
        c.eval_hits, c.contaminated, s.keep_rate, s.sampled,
        e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio, e.es_clean_md5,
-       m.lm_bigrams, m.lm_logppl
+       m.lm_bigrams, m.lm_c2_sum, m.lm_c1_sum
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)

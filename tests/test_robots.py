@@ -69,6 +69,29 @@ def test_specific_group_replaces_default(spark, rules):
     assert got["http://a.example/public"] is True
 
 
+def test_mixed_case_patterns_and_paths(spark):
+    # RFC 9309 path matching is case-sensitive: an uppercase rule must
+    # match the same-case path and NOT the lowercase one (round-4
+    # ADVICE: lowercasing the path while patterns kept original case
+    # made 'Disallow: /WP-Admin' unmatchable)
+    robots = spark.createDataFrame(
+        [("MiXed.example", "User-agent: *\nDisallow: /WP-Admin\n")],
+        "host string, robots_txt string",
+    )
+    r = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("http://mixed.example/WP-Admin/login",),   # host case folds
+            ("http://MIXED.example/wp-admin/login",),   # path case doesn't
+        ],
+        "url string",
+    )
+    got = {u.url: (u.allowed, u.rule_len)
+           for u in check_allowed(urls, r).collect()}
+    assert got["http://mixed.example/WP-Admin/login"] == (False, 9)
+    assert got["http://MIXED.example/wp-admin/login"] == (True, 0)
+
+
 def test_rules_broadcast_no_url_shuffle(spark, rules):
     urls = spark.createDataFrame([(u,) for u in CASES], "url string")
     plan = check_allowed(urls, rules)._jdf.queryExecution() \

@@ -41,9 +41,26 @@ from pyspark.sql.types import (
 )
 
 from ..kernels.affine import Affine
-from ..kernels.windows import Window, get_slice_pad, round_outer_window, window_from_bounds
+from ..kernels.windows import Window, round_outer_window, window_from_bounds
 
 TILE = 128
+
+
+def _keys_weights(t: np.ndarray) -> list[np.ndarray]:
+    """Keys cubic-convolution tap weights for fractional offset
+    ``t`` in [0, 1), a = -0.5 (Catmull-Rom; the kernel behind GDAL
+    ``cubic`` / OpenCV INTER_CUBIC — the reference's 'bicubic' order,
+    geotensor.py:178-182). Returns weights for taps at offsets
+    -1, 0, +1, +2 relative to floor(x). Interpolating (w = (0,1,0,0)
+    at t=0), partition of unity (Σw = 1 for every t), reproduces
+    polynomials up to degree 2 exactly."""
+    return [
+        ((-0.5 * t + 1.0) * t - 0.5) * t,          # k(1+t)
+        (1.5 * t - 2.5) * t * t + 1.0,             # k(t)
+        ((-1.5 * t + 2.0) * t + 0.5) * t,          # k(1-t)
+        (0.5 * t - 0.5) * t * t,                   # k(2-t)
+    ]
+
 
 TILE_SCHEMA = StructType(
     [
@@ -277,13 +294,20 @@ def resample_tiles(
             )
             if not tw.intersects(sw):
                 continue
-            sl, _pad = get_slice_pad(tw, sw)
-            # src-block coords of the copied region
-            y0 = max(tw.row_off, sw.row_off) - sw.row_off
-            x0 = max(tw.col_off, sw.col_off) - sw.col_off
-            sub = t[sl["y"].start - tw.row_off : sl["y"].stop - tw.row_off,
-                    sl["x"].start - tw.col_off : sl["x"].stop - tw.col_off]
-            block[y0 : y0 + sub.shape[0], x0 : x0 + sub.shape[1]] = sub
+            # tile ∩ window intersection in absolute pixel coords, then
+            # shifted into each array's frame (the get_slice_pad kernel
+            # mixes absolute/relative offsets across its branches —
+            # direct intersection is the unambiguous form; the kernel
+            # itself is pinned by tests for the reference's read-pad
+            # decomposition where window_data starts the frame)
+            ay0 = max(tw.row_off, sw.row_off)
+            ax0 = max(tw.col_off, sw.col_off)
+            ay1 = min(tw.row_end, sw.row_end)
+            ax1 = min(tw.col_end, sw.col_end)
+            sub = t[ay0 - tw.row_off : ay1 - tw.row_off,
+                    ax0 - tw.col_off : ax1 - tw.col_off]
+            block[ay0 - sw.row_off : ay1 - sw.row_off,
+                  ax0 - sw.col_off : ax1 - sw.col_off] = sub
 
         # dst pixel centers -> world -> fractional src pixel coords via
         # the FULL affines (b/d terms included: rotated/sheared grids
@@ -497,7 +521,7 @@ def griddata_interpolate(
 def gaussian_blur_tiles(
     tiles: DataFrame,
     shape: Tuple[int, int],
-    sigma: float,
+    sigma: float | Tuple[float, float],
     tile: int = TILE,
     mode: str = "reflect",
 ) -> DataFrame:
@@ -512,19 +536,38 @@ def gaussian_blur_tiles(
     kernel convolves the padded block, the core is emitted. At 100 TB
     the exchange is O(halo * perimeter) extra rows — the overlap-tile
     pattern of SURVEY.md §4.2.
+
+    ``sigma`` may be a ``(sigma_y, sigma_x)`` pair for anisotropic
+    smoothing (skimage's per-axis anti_aliasing_sigma — the composed
+    ``resize_tiles`` path when the two scale factors differ); an axis
+    with sigma 0 is left untouched.
     """
     import math as _math
 
     spark = tiles.sparkSession
     H, W = shape
-    radius = int(_math.ceil(4.0 * sigma))
+    sig_y, sig_x = (
+        (float(sigma[0]), float(sigma[1]))
+        if isinstance(sigma, (tuple, list))
+        else (float(sigma), float(sigma))
+    )
+    rad_y = int(_math.ceil(4.0 * sig_y)) if sig_y > 0 else 0
+    rad_x = int(_math.ceil(4.0 * sig_x)) if sig_x > 0 else 0
+    radius = max(rad_y, rad_x)
     n_trow = _math.ceil(H / tile)
     n_tcol = _math.ceil(W / tile)
 
-    # scipy-compatible gaussian kernel (truncate=4): normalized samples
-    xs = np.arange(-radius, radius + 1, dtype=np.float64)
-    kern = np.exp(-0.5 * (xs / sigma) ** 2)
-    kern /= kern.sum()
+    # scipy-compatible gaussian kernels (truncate=4), one per axis;
+    # sigma 0 -> identity tap
+    def _kern1d(sig, rad):
+        if rad == 0:
+            return np.array([1.0])
+        xs = np.arange(-rad, rad + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (xs / sig) ** 2)
+        return k / k.sum()
+
+    kern_y = _kern1d(sig_y, rad_y)
+    kern_x = _kern1d(sig_x, rad_x)
 
     plan_rows = []
     for trow in range(n_trow):
@@ -595,11 +638,21 @@ def gaussian_blur_tiles(
         block = block[np.clip(local_r, 0, ph - 1)][:, np.clip(local_c, 0, pw - 1)]
 
         # separable convolution (valid region = core)
-        tmp = np.apply_along_axis(
-            lambda m: np.convolve(m, kern, mode="same"), axis=0, arr=block
+        tmp = (
+            np.apply_along_axis(
+                lambda m: np.convolve(m, kern_y, mode="same"), axis=0,
+                arr=block,
+            )
+            if rad_y > 0
+            else block
         )
-        out_full = np.apply_along_axis(
-            lambda m: np.convolve(m, kern, mode="same"), axis=1, arr=tmp
+        out_full = (
+            np.apply_along_axis(
+                lambda m: np.convolve(m, kern_x, mode="same"), axis=1,
+                arr=tmp,
+            )
+            if rad_x > 0
+            else tmp
         )
         out = out_full[radius : radius + dst_h, radius : radius + dst_w]
         return pd.DataFrame(
@@ -617,3 +670,64 @@ def gaussian_blur_tiles(
     return gathered.groupBy("raster_id", "band", "dst_trow", "dst_tcol").applyInPandas(
         blur, TILE_SCHEMA
     )
+
+
+def resize_tiles(
+    tiles: DataFrame,
+    src_transform: Affine,
+    src_shape: Tuple[int, int],
+    output_shape: Tuple[int, int],
+    method: str = "bilinear",
+    anti_aliasing: bool = True,
+    anti_aliasing_sigma: float | Tuple[float, float] | None = None,
+    tile: int = TILE,
+    fill_value: float = 0.0,
+    bool_mask: bool = False,
+) -> "Tuple[DataFrame, Affine]":
+    """Composed anti-aliased resize — the reference's ``GeoTensor.
+    resize`` (geotensor.py:1850-1975, delegating to skimage
+    ``transform.resize``): Gaussian smoothing with the skimage default
+    ``sigma = max((s - 1) / 2, 0)`` per axis (s = downsampling factor,
+    only applied where s > 1), then interpolation at the new pixel
+    centers (nearest / bilinear / bicubic — the reference's ORDERS
+    map, geotensor.py:178-182).
+
+    The output georeferencing follows the reference:
+    ``dst_transform = src_transform * scale(W_src/W_dst, H_src/H_dst)``
+    — which makes the affine pixel-center mapping identical to
+    skimage's ``(i_out + 0.5) * s - 0.5`` coordinate rule, so the warp
+    kernel needs no special resize path.
+
+    Returns ``(tiles_out, dst_transform)``. Plan shape: one halo
+    exchange for the blur (skipped entirely when upsampling or
+    ``anti_aliasing=False``) + the resample gather join — both keyed
+    by output tile, no driver-side pixels.
+    """
+    H_src, W_src = src_shape
+    H_dst, W_dst = output_shape
+    s_y = H_src / H_dst
+    s_x = W_src / W_dst
+    dst_transform = src_transform * Affine.scale(s_x, s_y)
+
+    if anti_aliasing:
+        if anti_aliasing_sigma is None:
+            sig = (max((s_y - 1.0) / 2.0, 0.0), max((s_x - 1.0) / 2.0, 0.0))
+        elif isinstance(anti_aliasing_sigma, (tuple, list)):
+            sig = (float(anti_aliasing_sigma[0]), float(anti_aliasing_sigma[1]))
+        else:
+            sig = (float(anti_aliasing_sigma), float(anti_aliasing_sigma))
+        if sig[0] > 0 or sig[1] > 0:
+            tiles = gaussian_blur_tiles(tiles, src_shape, sig, tile=tile)
+
+    out = resample_tiles(
+        tiles,
+        src_transform,
+        src_shape,
+        dst_transform,
+        output_shape,
+        method=method,
+        tile=tile,
+        fill_value=fill_value,
+        bool_mask=bool_mask,
+    )
+    return out, dst_transform

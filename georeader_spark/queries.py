@@ -1581,13 +1581,27 @@ SELECT doc_id FROM r WHERE rn = 1
 """
 
 
-def q_resample_bilinear(spark, sf_dir):
+def q_resample_methods(spark, sf_dir):
     """THE physical warp kernel (read_reproject path ⑧,
-    read.py:1632-1665, bilinear): tile-blocked halo-gather join +
-    per-output-tile numpy resample — cross-checked against a pure-SQL
-    4-neighbor gather oracle computing the identical IEEE arithmetic."""
+    read.py:1632-1665) across its whole method map, three legs:
+
+    - ``bilinear`` / ``bicubic``: tile-blocked halo-gather join +
+      per-output-tile numpy resample, cross-checked against pure-SQL
+      4- and 16-tap gather oracles computing the IDENTICAL IEEE
+      arithmetic (same Horner weight forms, same accumulation order —
+      bit-exact before the 6-dp round). Bicubic is the Keys cubic-
+      convolution kernel a=-0.5 (the reference's 'bicubic' ORDERS
+      entry, geotensor.py:178-182; GDAL `cubic`).
+    - ``resize_aa``: the composed anti-aliased resize
+      (reproject.resize_tiles — GeoTensor.resize geotensor.py:
+      1850-1975): Gaussian sigma=(s-1)/2 smoothing (s=4 -> sigma=1.5)
+      then bilinear decimation; the twin recomputes the separable
+      reflect convolution and the taps in SQL (rounded to 4 dp — the
+      convolve-vs-SUM summation-order error is ~1e-10 on this
+      fixture, as in the raster_gaussian_blur gate)."""
     from .operators.reproject import (
         resample_tiles,
+        resize_tiles,
         tile_blocked_from_long,
         tile_blocked_to_long,
     )
@@ -1598,20 +1612,88 @@ def q_resample_bilinear(spark, sf_dir):
     dH, dW = 20, 20  # fully interior: no clamping, oracle is exact
     src = R.synth_raster(spark, 1, H_, W_, bands=1)
     tiles = tile_blocked_from_long(src, H_, W_, tile=32)
-    out = resample_tiles(
-        tiles, src_t, (H_, W_), dst_t, (dH, dW), method="bilinear", tile=32
+    legs = []
+    for method in ("bilinear", "bicubic"):
+        out = resample_tiles(
+            tiles, src_t, (H_, W_), dst_t, (dH, dW), method=method, tile=32
+        )
+        long = tile_blocked_to_long(out, tile=32)
+        legs.append(
+            long.select(
+                F.lit(method).alias("part"), "row", "col",
+                F.round("value", 6).alias("value"),
+            )
+        )
+    rz, _t = resize_tiles(tiles, src_t, (H_, W_), (16, 16), method="bilinear",
+                          tile=32)
+    legs.append(
+        tile_blocked_to_long(rz, tile=32).select(
+            F.lit("resize_aa").alias("part"), "row", "col",
+            F.round("value", 4).alias("value"),
+        )
     )
-    long = tile_blocked_to_long(out, tile=32)
-    return long.select("row", "col", F.round("value", 6).alias("value"))
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
-def _resample_bilinear_sql() -> str:
+def _resample_methods_sql() -> str:
     # identical arithmetic to operators/reproject.py resample_tiles:
     # fc = (gx - c)/a - 0.5 ; c0 = floor(fc); wc = fc - c0 (interior)
     gx = "(8.0 + (dst.col + 0.5) * 2.0)"
     gy = "(56.0 - (dst.row + 0.5) * 2.0)"
     fc = f"(({gx} - 0.0) / 1.0 - 0.5)"
     fr = f"(({gy} - 64.0) / -1.0 - 0.5)"
+
+    # Keys a=-0.5 tap weights — the same Horner forms as
+    # reproject._keys_weights so both engines run identical IEEE ops
+    def keys(t):
+        return [
+            f"((-0.5 * {t} + 1.0) * {t} - 0.5) * {t}",
+            f"(1.5 * {t} - 2.5) * {t} * {t} + 1.0",
+            f"((-1.5 * {t} + 2.0) * {t} + 0.5) * {t}",
+            f"(0.5 * {t} - 0.5) * {t} * {t}",
+        ]
+
+    wxs = keys("wc")
+    wys = keys("wr")
+    # inner accumulation in n order, outer in m order — matches the
+    # warp kernel's += chains (left-assoc + in SQL)
+    rows_acc = []
+    for m in range(4):
+        taps = " + ".join(
+            f"({wxs[n]}) * v{m}{n}.value" for n in range(4)
+        )
+        rows_acc.append(f"({wys[m]}) * ({taps})")
+    cubic_expr = " + ".join(rows_acc)
+    cubic_joins = "\n".join(
+        f"JOIN src v{m}{n} ON v{m}{n}.row = idx.r0 - 1 + {m} "
+        f"AND v{m}{n}.col = idx.c0 - 1 + {n}"
+        for m in range(4)
+        for n in range(4)
+    )
+
+    # resize_aa leg: sigma = (4-1)/2 = 1.5, radius = ceil(4*1.5) = 6,
+    # the gaussian_blur_tiles kernel literals; then bilinear taps on
+    # the blurred grid at the scaled pixel centers fc = 4*col + 1.5
+    import numpy as _np
+
+    sigma, radius, n_px = 1.5, 6, 64
+    xs = _np.arange(-radius, radius + 1, dtype=_np.float64)
+    kern = _np.exp(-0.5 * (xs / sigma) ** 2)
+    kern /= kern.sum()
+    offs = ", ".join(
+        f"({d}, {w!r})" for d, w in zip(range(-radius, radius + 1), kern)
+    )
+
+    def reflect(expr):
+        return (f"(CASE WHEN {expr} < 0 THEN -({expr}) - 1 "
+                f"WHEN {expr} >= {n_px} THEN {2 * n_px} - ({expr}) - 1 "
+                f"ELSE {expr} END)")
+
+    rz_fc = "(4.0 * dst.col + 1.5)"
+    rz_fr = "(4.0 * dst.row + 1.5)"
     return f"""
 WITH src AS ({R.synth_raster_sql(1, 64, 64, bands=1)}),
 dst AS (
@@ -1626,8 +1708,36 @@ idx AS (
          ({fc} - FLOOR({fc})) AS wc,
          ({fr} - FLOOR({fr})) AS wr
   FROM dst
+),
+kern(d, w) AS (VALUES {offs}),
+vpass AS (
+  SELECT g.row, g.col, SUM(k.w * s.value) AS value
+  FROM (SELECT DISTINCT row, col FROM src) g
+  CROSS JOIN kern k
+  JOIN src s ON s.row = {reflect("g.row + k.d")} AND s.col = g.col
+  GROUP BY g.row, g.col
+),
+blurred AS (
+  SELECT g.row, g.col, SUM(k.w * v.value) AS value
+  FROM (SELECT DISTINCT row, col FROM src) g
+  CROSS JOIN kern k
+  JOIN vpass v ON v.row = g.row AND v.col = {reflect("g.col + k.d")}
+  GROUP BY g.row, g.col
+),
+rz_dst AS (
+  SELECT CAST(FLOOR(range / 16) AS BIGINT) AS row,
+         CAST(range % 16 AS BIGINT) AS col
+  FROM range(0, 256)
+),
+rz_idx AS (
+  SELECT dst.row, dst.col,
+         CAST(FLOOR({rz_fc}) AS BIGINT) AS c0,
+         CAST(FLOOR({rz_fr}) AS BIGINT) AS r0,
+         ({rz_fc} - FLOOR({rz_fc})) AS wc,
+         ({rz_fr} - FLOOR({rz_fr})) AS wr
+  FROM rz_dst dst
 )
-SELECT idx.row, idx.col,
+SELECT 'bilinear' AS part, idx.row, idx.col,
        ROUND(v00.value * (1 - wr) * (1 - wc)
            + v01.value * (1 - wr) * wc
            + v10.value * wr * (1 - wc)
@@ -1637,10 +1747,26 @@ JOIN src v00 ON v00.row = idx.r0 AND v00.col = idx.c0
 JOIN src v01 ON v01.row = idx.r0 AND v01.col = idx.c0 + 1
 JOIN src v10 ON v10.row = idx.r0 + 1 AND v10.col = idx.c0
 JOIN src v11 ON v11.row = idx.r0 + 1 AND v11.col = idx.c0 + 1
+UNION ALL
+SELECT 'bicubic' AS part, idx.row, idx.col,
+       ROUND({cubic_expr}, 6) AS value
+FROM idx
+{cubic_joins}
+UNION ALL
+SELECT 'resize_aa' AS part, idx.row, idx.col,
+       ROUND(v00.value * (1 - wr) * (1 - wc)
+           + v01.value * (1 - wr) * wc
+           + v10.value * wr * (1 - wc)
+           + v11.value * wr * wc, 4) AS value
+FROM rz_idx idx
+JOIN blurred v00 ON v00.row = idx.r0 AND v00.col = idx.c0
+JOIN blurred v01 ON v01.row = idx.r0 AND v01.col = idx.c0 + 1
+JOIN blurred v10 ON v10.row = idx.r0 + 1 AND v10.col = idx.c0
+JOIN blurred v11 ON v11.row = idx.r0 + 1 AND v11.col = idx.c0 + 1
 """
 
 
-Q_RESAMPLE_BILINEAR_SQL = _resample_bilinear_sql()
+Q_RESAMPLE_METHODS_SQL = _resample_methods_sql()
 
 
 def q_frame_sample(spark, sf_dir):
@@ -1672,7 +1798,7 @@ REGISTRY.update(
         "raster_validmask": (q_validmask, Q_VALIDMASK_SQL),
         "catalog_overlap": (q_catalog_overlap, Q_CATALOG_OVERLAP_SQL),
         "text_dedup_keep_first": (q_dedup_keep_first, Q_DEDUP_KEEP_FIRST_SQL),
-        "raster_resample_bilinear": (q_resample_bilinear, Q_RESAMPLE_BILINEAR_SQL),
+        "raster_resample_methods": (q_resample_methods, Q_RESAMPLE_METHODS_SQL),
         "media_frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     }
 )

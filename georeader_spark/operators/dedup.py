@@ -401,12 +401,19 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def _dup_islands(
-    docs: DataFrame, id_col: str, text_col: str, length: int, hashed: bool
+    docs: DataFrame, id_col: str, text_col: str, length: int, hashed: bool,
+    keep_first: bool = False,
 ):
     """Shared core: (base docs with gram counts, merged dup islands).
 
     base = ``(id_col, _t, n_grams)``; islands = one row per maximal
     duplicated interval ``(id_col, n_grams, s, e, n_marks)``.
+
+    ``keep_first=True`` exempts the globally-first occurrence of each
+    duplicated gram (total order: ``(id_col, pos)``) from marking —
+    the keep-one-canonical-copy policy. Costs one extra aggregate
+    column (a ``min`` over the same groupBy that already counts
+    occurrences), not an extra shuffle.
     """
     n_grams_c = F.greatest(
         F.lit(0), F.length(F.col(text_col)) - F.lit(length - 1)
@@ -426,11 +433,31 @@ def _dup_islands(
         .select(id_col, "n_grams", "pos", key.alias("g"))
     )
     # corpus-wide gram multiplicity (map-side partial agg, 8-byte keys)
-    counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
-    dup = grams.join(counts.where(F.col("n_occ") > 1), "g").select(
-        id_col, "n_grams", "pos",
-        (F.col("pos") + F.lit(length - 1)).alias("end"),
-    )
+    if keep_first:
+        counts = grams.groupBy("g").agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+            .alias("_first"),
+        )
+        dup = (
+            grams.join(counts.where(F.col("n_occ") > 1), "g")
+            .where(
+                ~(
+                    (F.col(id_col) == F.col("_first.i"))
+                    & (F.col("pos") == F.col("_first.p"))
+                )
+            )
+            .select(
+                id_col, "n_grams", "pos",
+                (F.col("pos") + F.lit(length - 1)).alias("end"),
+            )
+        )
+    else:
+        counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
+        dup = grams.join(counts.where(F.col("n_occ") > 1), "g").select(
+            id_col, "n_grams", "pos",
+            (F.col("pos") + F.lit(length - 1)).alias("end"),
+        )
     # gaps-and-islands merge of overlapping [pos, end] intervals
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max("end").over(
@@ -512,18 +539,20 @@ def remove_duplicated_spans(
     length: int = 40,
     hashed: bool = True,
     out_col: str = "clean_text",
+    keep_first: bool = False,
 ) -> DataFrame:
-    """Cut every duplicated span out of every document (the removal
-    half of the ExactSubstr pipeline: the paper's released tool cuts
-    marked spans from the corpus after the criterion pass).
+    """Cut duplicated spans out of every document (the removal half of
+    the ExactSubstr pipeline: the paper's released tool cuts marked
+    spans from the corpus after the criterion pass).
 
-    Policy: EVERY marked occurrence is removed (order-independent —
-    a keep-one-copy policy needs a global occurrence order, a
-    cross-document dependency that serializes the corpus; layer
-    :func:`dedup_exact` keep-first on top when one canonical copy
-    must survive). Documents with no duplicated span pass through
-    unchanged; a document that is one big duplicated island comes
-    back as ``''``.
+    Default policy: EVERY marked occurrence is removed
+    (order-independent). ``keep_first=True`` keeps one canonical copy:
+    the globally-first occurrence of each duplicated gram in
+    ``(id_col, pos)`` order survives — the deterministic total order
+    makes this distributable (one ``min`` aggregate riding the
+    existing gram groupBy, no corpus serialization). Documents with no
+    duplicated span pass through unchanged; under the default policy a
+    document that is one big duplicated island comes back as ``''``.
 
     Mechanics: the merged islands (shared :func:`_dup_islands` core —
     same one-shuffle gram pass as :func:`duplicated_span_stats`) turn
@@ -534,7 +563,9 @@ def remove_duplicated_spans(
 
     Returns ``(id_col, out_col)`` for every input document.
     """
-    base, islands = _dup_islands(docs, id_col, text_col, length, hashed)
+    base, islands = _dup_islands(
+        docs, id_col, text_col, length, hashed, keep_first=keep_first
+    )
     w = Window.partitionBy(id_col).orderBy("s")
     segs = islands.withColumn(
         "seg_start", F.coalesce(F.lag("e").over(w) + 1, F.lit(1))

@@ -567,6 +567,50 @@ def pq_encode(
     )
 
 
+def adc_rank(
+    codes: DataFrame,
+    lut_df: DataFrame,
+    m: int,
+    R: int,
+    q_id: str = "q_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance ranking over the COMPRESSED table: the
+    approximate distance of a corpus vector is an m-term
+    ``element_at`` sum over its codes against the query's broadcast
+    ``lut`` (array<array<double>>, one inner array per subspace) —
+    pure JVM expressions, the float vectors are never scanned.
+
+    Two-phase rank: top-R per (query, scan partition) caps the global
+    per-query sort at R * P rows — without it the window shuffles ALL
+    |corpus| * |Q| scored rows into |Q| sort partitions (the round-1
+    kNN reducer funnel, flagged again in the round-3 verdict).
+
+    Returns ``(q_id, vec_id, codes, adc, rank)`` with rank <= R,
+    deterministic under ties ((adc asc, vec_id asc) total order).
+    """
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    w_part = Window.partitionBy(q_id, "_pid").orderBy(
+        F.col("adc").asc(), F.col(vec_id).asc()
+    )
+    w_glob = Window.partitionBy(q_id).orderBy(
+        F.col("adc").asc(), F.col(vec_id).asc()
+    )
+    return (
+        codes.crossJoin(lut_df)
+        .withColumn("adc", adc)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(w_part))
+        .where(F.col("_prank") <= R)
+        .withColumn("rank", F.row_number().over(w_glob))
+        .where(F.col("rank") <= R)
+        .select(q_id, vec_id, "codes", "adc", "rank")
+    )
+
+
 def ann_topk_pq(
     vectors: DataFrame,
     codes: DataFrame,
@@ -607,30 +651,9 @@ def ann_topk_pq(
         lut_rows, f"{q_id} int, lut array<array<double>>"
     ))
 
-    adc = None
-    for s in range(m):
-        term = F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
-        adc = term if adc is None else adc + term
     R = refine_factor * k
-    # two-phase rank: top-R per (query, scan partition) caps the global
-    # per-query sort at R * P rows — without it the window shuffles ALL
-    # |corpus| * |Q| scored rows into |Q| sort partitions (the round-1
-    # kNN reducer funnel, flagged again in the round-3 verdict)
-    w_part = Window.partitionBy(q_id, "_pid").orderBy(
-        F.col("adc").asc(), F.col(vec_id).asc()
-    )
-    w_glob = Window.partitionBy(q_id).orderBy(
-        F.col("adc").asc(), F.col(vec_id).asc()
-    )
-    cand = (
-        codes.crossJoin(lut_df)
-        .withColumn("adc", adc)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_prank", F.row_number().over(w_part))
-        .where(F.col("_prank") <= R)
-        .withColumn("_rank", F.row_number().over(w_glob))
-        .where(F.col("_rank") <= R)
-        .select(q_id, vec_id)
+    cand = adc_rank(codes, lut_df, m, R, q_id=q_id, vec_id=vec_id).select(
+        q_id, vec_id
     )
     refined = (
         cand.join(vectors.select(vec_id, vec_col), vec_id)

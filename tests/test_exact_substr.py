@@ -126,6 +126,89 @@ class TestRemoval:
         assert got == ref
         assert any(ref[r.doc_id] != r.text for r in rows)  # non-vacuous
 
+    def test_keep_first_semantics(self, spark):
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        shared = "0123456789abcdefghij"
+        docs = [(1, "X" * 5 + shared + "Y" * 5),
+                (2, "P" * 7 + shared + "Q" * 3),
+                (3, "no duplicates whatsoever in here")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(df, length=10, keep_first=True)
+               .collect()}
+        # doc 1 holds the globally-first occurrence -> untouched;
+        # doc 2's copy is removed; doc 3 untouched
+        assert out[1] == docs[0][1]
+        assert out[2] == "P" * 7 + "Q" * 3
+        assert out[3] == docs[2][1]
+
+    def test_keep_first_whole_doc_duplicate(self, spark):
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        df = spark.createDataFrame(
+            [(1, "0123456789"), (2, "0123456789"), (3, "0123456789")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(df, length=10, keep_first=True)
+               .collect()}
+        assert out == {1: "0123456789", 2: "", 3: ""}
+
+    def test_keep_first_within_doc_repeat(self, spark):
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        # same gram twice INSIDE one doc: first occurrence survives
+        t = "0123456789" + "zz" + "0123456789"
+        df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        out = remove_duplicated_spans(
+            df, length=10, keep_first=True).collect()[0].clean_text
+        assert out == "0123456789" + "zz"
+
+    def test_keep_first_matches_bruteforce(self, spark, sf_dir):
+        """First-occurrence-exempt char-marking reference over the
+        real corpus (global (doc_id, pos) order)."""
+        from georeader_spark.operators.dedup import remove_duplicated_spans
+
+        rows = sorted(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect(),
+            key=lambda r: r.doc_id,
+        )
+        L = 30
+        first_of = {}
+        count = {}
+        for r in rows:
+            t = r.text
+            for i in range(max(len(t) - L + 1, 0)):
+                g = t[i:i + L]
+                count[g] = count.get(g, 0) + 1
+                first_of.setdefault(g, (r.doc_id, i))
+
+        def clean(doc_id, t):
+            marks = [False] * len(t)
+            for i in range(max(len(t) - L + 1, 0)):
+                g = t[i:i + L]
+                if count[g] > 1 and first_of[g] != (doc_id, i):
+                    for j in range(i, i + L):
+                        marks[j] = True
+            return "".join(ch for ch, m in zip(t, marks) if not m)
+
+        ref = {r.doc_id: clean(r.doc_id, r.text) for r in rows}
+        got = {r.doc_id: r.clean_text for r in
+               remove_duplicated_spans(
+                   spark.createDataFrame(rows), length=L, keep_first=True)
+               .collect()}
+        assert got == ref
+        # non-vacuous both ways: some docs lose text, and keep-first
+        # retains strictly more than remove-all somewhere
+        assert any(ref[r.doc_id] != r.text for r in rows)
+        from georeader_spark.operators.dedup import (
+            remove_duplicated_spans as _rm)
+        all_rm = {r.doc_id: r.clean_text for r in
+                  _rm(spark.createDataFrame(rows), length=L).collect()}
+        assert any(len(ref[k]) > len(all_rm[k]) for k in ref)
+
     def test_stats_consistency(self, spark, sf_dir):
         """length(text) - length(clean) == dup_chars, doc by doc."""
         from georeader_spark.operators.dedup import (

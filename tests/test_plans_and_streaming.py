@@ -351,6 +351,90 @@ class TestStreaming:
         for k, v in got.items():
             assert expect.get(k) == v, k
 
+    def test_streaming_exact_dedup_matches_batch(self, spark, tmp_path):
+        """First-arrival streaming dedup == batch keep-first when the
+        whole input drains in one trigger (intra-batch winner is
+        min(doc_id) by contract)."""
+        from georeader_spark.operators.dedup import exact_dedup_keep_first
+        from georeader_spark.streaming.cell_counts import run_available_now
+        from georeader_spark.streaming.dedup import streaming_exact_dedup
+
+        src_dir = str(tmp_path / "docs")
+        docs = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body-"), (F.col("id") % 300).cast("string"))
+            .alias("text"),
+        )
+        docs.write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = streaming_exact_dedup(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        out_dir = str(tmp_path / "out")
+        run_available_now(stream, out_dir, str(tmp_path / "ckpt"))
+        got = {r.text_md5: r.doc_id
+               for r in spark.read.parquet(out_dir).collect()}
+
+        kept = exact_dedup_keep_first(spark.read.parquet(src_dir))
+        expect = {
+            r.md5: r.doc_id
+            for r in kept.select(
+                F.md5(F.encode("text", "UTF-8")).alias("md5"), "doc_id"
+            ).collect()
+        }
+        assert got == expect
+        assert len(got) == 300
+
+    def test_streaming_exact_dedup_restart_no_reemit(self, spark, tmp_path):
+        """Checkpointed seen-state survives a restart: a second drain
+        over late-arriving duplicates emits NOTHING for already-seen
+        bodies and exactly the new distinct ones."""
+        from georeader_spark.streaming.cell_counts import run_available_now
+        from georeader_spark.streaming.dedup import streaming_exact_dedup
+
+        src_dir = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        part1 = spark.range(0, 400).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("b-"), (F.col("id") % 100).cast("string"))
+            .alias("text"),
+        )
+        part1.write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def drain():
+            stream = streaming_exact_dedup(
+                spark.readStream.schema(schema).parquet(src_dir)
+            )
+            run_available_now(stream, out_dir, ckpt)
+
+        drain()
+        first = {r.text_md5: r.doc_id
+                 for r in spark.read.parquet(out_dir).collect()}
+        assert len(first) == 100
+
+        # late batch: 150 docs, 100 duplicate every part-1 body, 50 new
+        part2 = spark.range(1000, 1150).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < 1100,
+                F.concat(F.lit("b-"), (F.col("id") % 100).cast("string")),
+            ).otherwise(
+                F.concat(F.lit("new-"), F.col("id").cast("string"))
+            ).alias("text"),
+        )
+        part2.write.mode("append").parquet(src_dir)
+        drain()
+        after = {r.text_md5: r.doc_id
+                 for r in spark.read.parquet(out_dir).collect()}
+        # nothing re-emitted, survivors unchanged for seen bodies
+        assert all(after[k] == v for k, v in first.items())
+        # exactly the 50 new distinct bodies appeared, ids from part 2
+        new = {k: v for k, v in after.items() if k not in first}
+        assert len(new) == 50 and all(v >= 1100 for v in new.values())
+
     def test_stateful_sessions_match_batch(self, spark, tmp_path):
         """applyInPandasWithState sessionizer: the CLOSED sessions the
         stream emits equal the batch gap-sessionization minus each

@@ -146,3 +146,49 @@ class TestAffineProperties:
         assert rx > 0 and ry > 0
         assert math.isclose(rx, a, rel_tol=1e-12)
         assert math.isclose(ry, e, rel_tol=1e-12)
+
+
+class TestKeysKernelProperties:
+    """Invariants of the bicubic (Keys a=-0.5) tap weights the
+    distributed warp relies on (operators/reproject._keys_weights)."""
+
+    @given(st.floats(0.0, 1.0, allow_nan=False))
+    @settings(max_examples=300, deadline=None)
+    def test_partition_of_unity(self, t):
+        from georeader_spark.operators.reproject import _keys_weights
+
+        ws = _keys_weights(np.asarray([t]))
+        assert abs(sum(float(w[0]) for w in ws) - 1.0) < 1e-12
+
+    @given(st.floats(0.0, 1.0, allow_nan=False),
+           st.floats(-3.0, 3.0, allow_nan=False),
+           st.floats(-2.0, 2.0, allow_nan=False),
+           st.floats(-0.5, 0.5, allow_nan=False))
+    @settings(max_examples=300, deadline=None)
+    def test_quadratic_reproduction_1d(self, t, a, b, c):
+        """Σ w_m · q(m) == q(t) for any quadratic q over taps
+        m ∈ {-1, 0, 1, 2} — Keys 1981's third-order accuracy, the
+        property that makes bicubic resampling exact on quadratic
+        fields."""
+        from georeader_spark.operators.reproject import _keys_weights
+
+        ws = _keys_weights(np.asarray([t]))
+
+        def q(x):
+            return a + b * x + c * x * x
+
+        got = sum(float(w[0]) * q(m) for w, m in zip(ws, (-1, 0, 1, 2)))
+        assert abs(got - q(t)) < 1e-9
+
+    @given(st.floats(0.0, 1.0, allow_nan=False))
+    @settings(max_examples=200, deadline=None)
+    def test_weights_bounded(self, t):
+        """Keys a=-0.5 weights stay in [-2/27 - eps, 1 + eps]: the
+        kernel's minimum is -2/27 (outer taps at |s| = 4/3), so a warp
+        of data in [lo, hi] cannot blow past the known overshoot
+        envelope."""
+        from georeader_spark.operators.reproject import _keys_weights
+
+        ws = _keys_weights(np.asarray([t]))
+        for w in ws:
+            assert -2.0 / 27.0 - 1e-12 <= float(w[0]) <= 1.0 + 1e-12

@@ -4,6 +4,16 @@ same parquet tables, compare row count, column names, and an
 order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [name ...]
+
+Determinism mode (``--det``): run every queries() entry TWICE under
+deliberately different execution environments — pass A at local[8],
+shuffle.partitions=8, AQE on; pass B at local[32],
+shuffle.partitions=32, AQE off — and diff the order-insensitive value
+hashes. Any query whose hash depends on partitioning / summation
+order / plan choice (the failure mode that flipped ``text_stats`` on
+the round-4 driver) fails here before the driver sees it.
+
+Usage: python tools/check_correctness.py --det [sf_dir] [name ...]
 """
 
 from __future__ import annotations
@@ -49,9 +59,89 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
+def run_spark_pass(spark, qs, only, sf_dir, label=""):
+    """Run every selected query on ``spark``; return
+    name -> {hash, rows, cols, err}. Hashes are the same
+    order-insensitive digest the Spark-vs-DuckDB compare uses, so two
+    passes agreeing here means the driver-side hash is stable too."""
+    out = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = [c.lower() for c in sdf.columns]
+            rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {label}{name}: spark error: {ex}")
+            out[name] = {"hash": None, "rows": None, "cols": None,
+                         "err": str(ex)[:200]}
+            continue
+        out[name] = {"hash": value_hash(rows, cols), "rows": len(rows),
+                     "cols": sorted(cols), "err": None}
+        print(f"ran   {label}{name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+    return out
+
+
+def det_main(sf_dir, only):
+    """Two-environment determinism diff (see module docstring)."""
+    from georeader_spark.plans.session import get_spark
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    spark = get_spark("det-a", master="local[8]", shuffle_partitions=8)
+    pass_a = run_spark_pass(spark, qs, only, sf_dir, label="A/")
+    spark.stop()
+
+    spark = get_spark(
+        "det-b", master="local[32]", shuffle_partitions=32,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    pass_b = run_spark_pass(spark, qs, only, sf_dir, label="B/")
+    spark.stop()
+
+    failures = []
+    results = {}
+    for name in pass_a:
+        a, b = pass_a[name], pass_b.get(name, {})
+        ok = (a["err"] is None and b.get("err") is None
+              and a["hash"] == b.get("hash")
+              and a["rows"] == b.get("rows")
+              and a["cols"] == b.get("cols"))
+        results[name] = {
+            "det_match": ok,
+            "hash_a": a["hash"], "hash_b": b.get("hash"),
+            "rows_a": a["rows"], "rows_b": b.get("rows"),
+            "err": a["err"] or b.get("err"),
+        }
+        print(f"{'OK  ' if ok else 'FAIL'}  det {name}: "
+              f"hash {'stable' if ok else 'DIVERGED'} "
+              f"rows {a['rows']}/{b.get('rows')}")
+        if not ok:
+            failures.append(name)
+
+    print(f"\n{len(failures)} determinism failures"
+          + (f": {failures}" if failures else ""))
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path} ({len(results)} entries)")
+    sys.exit(1 if failures else 0)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--det"]
+    det = "--det" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if det:
+        det_main(sf_dir, only)
+        return
 
     from georeader_spark.plans.session import get_spark
     import __spark_entry__ as E

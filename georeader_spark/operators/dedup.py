@@ -603,3 +603,98 @@ def remove_duplicated_spans(
         F.concat(F.coalesce(F.col("head"), F.lit("")), tail)
     )
     return out.select(id_col, clean.alias(out_col))
+
+
+def paragraph_dedup_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_words: int | None = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup, keep-first policy
+    (Wenzek et al. 2019 §3.1 dedup the corpus at paragraph level;
+    reference has no text ops — this is task-brief pipeline family).
+
+    Every paragraph that occurs more than once in the corpus is
+    removed EXCEPT its globally-first occurrence in ``(id, seg)``
+    order; documents are rebuilt from their surviving paragraphs in
+    original order. Returns one row per input document:
+    ``(id_col, n_paras, pd_dropped, clean_text)``.
+
+    Segmentation: ``para_words=None`` splits on the literal ``sep``
+    (real corpora: blank-line paragraphs); ``para_words=k`` segments
+    the whitespace token stream into fixed k-word windows (the
+    single-line synthetic fixture) and rebuilds with single spaces.
+
+    100 TB shape: paragraphs are hashed to 16-byte md5 BEFORE the
+    winner-election shuffle, so the wide exchange carries
+    (hash, id, seg) — never text. The drop-list (duplicate
+    occurrences) is small by construction and broadcast back; the
+    expensive text regroup (collect_list + array_join) runs ONLY for
+    affected documents — the clean majority passes through untouched
+    with zero text shuffle.
+    """
+    import re as _re
+
+    if para_words is None:
+        paras_col = F.split(F.col(text_col), _re.escape(sep))
+        join_sep = sep
+    else:
+        words = F.split(F.col(text_col), " ")
+        n_segs = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
+        paras_col = F.transform(
+            F.sequence(F.lit(0), n_segs - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * para_words + 1, para_words), " "
+            ),
+        )
+        join_sep = " "
+
+    segs = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(paras_col).alias("_seg", "_para")
+    )
+    # winner election on the 16-byte digest only — text never shuffles
+    hashed = segs.select("_id", "_seg", F.md5(F.col("_para")).alias("_ph"))
+    w = Window.partitionBy("_ph").orderBy(F.col("_id").asc(), F.col("_seg").asc())
+    drops = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("_id", "_seg")
+    )
+    dcnt = drops.groupBy("_id").agg(F.count("*").alias("pd_dropped"))
+
+    # rebuild ONLY affected documents (kept paragraphs, original order)
+    kept = (
+        segs.join(dcnt, "_id", "left_semi")
+        .join(drops, ["_id", "_seg"], "left_anti")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seg", "_para"))),
+                lambda x: x["_para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    # a doc whose EVERY paragraph was dropped has no kept rows: left
+    # join and coalesce to the empty document
+    changed = dcnt.join(rebuilt, "_id", "left").select(
+        "_id",
+        (F.coalesce(F.col("_n_kept"), F.lit(0)) + F.col("pd_dropped"))
+        .cast("int")
+        .alias("n_paras"),
+        F.col("pd_dropped").cast("int").alias("pd_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+    untouched = docs.join(
+        dcnt, docs[id_col] == dcnt["_id"], "left_anti"
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.size(paras_col).cast("int").alias("n_paras"),
+        F.lit(0).cast("int").alias("pd_dropped"),
+        F.col(text_col).alias("clean_text"),
+    )
+    return untouched.unionByName(changed).withColumnRenamed("_id", id_col)

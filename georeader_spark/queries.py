@@ -3475,9 +3475,23 @@ def q_text_stats(spark, sf_dir):
     logppl/ppl values themselves are pytest-gated (tests/test_lm.py) —
     an avg-of-ln's last ulp depends on summation order and the
     engine's libm build, which under a 6-dp round is a cross-engine
-    hash flake (the round-4 driver-red on this very query)."""
+    hash flake (the round-4 driver-red on this very query).
+
+    Round-5 leg: CCNet-style corpus-level PARAGRAPH DEDUP, keep-first
+    policy (dedup.paragraph_dedup_keep_first — winner election on
+    16-byte paragraph digests, text-free wide shuffle, rebuild only
+    for affected docs). The single-line fixture is segmented into
+    8-word windows (same rule in the twin); gated as pd_paras +
+    pd_dropped + pd_clean_md5 (the twin re-elects winners with
+    ROW_NUMBER over raw paragraphs and REBUILDS the cleaned text in
+    SQL — a lost paragraph, wrong order, or wrong exemption is a hash
+    mismatch). All three legs are integer/md5-exact."""
     from .operators import traindata as TD
-    from .operators.dedup import duplicated_span_stats, remove_duplicated_spans
+    from .operators.dedup import (
+        duplicated_span_stats,
+        paragraph_dedup_keep_first,
+        remove_duplicated_spans,
+    )
     from .operators.lm import train_bigram_lm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3519,9 +3533,18 @@ def q_text_stats(spark, sf_dir):
         F.col("c2_sum").alias("lm_c2_sum"),
         F.col("c1_sum").alias("lm_c1_sum"),
     )
+    # CCNet-style corpus-level paragraph dedup, keep-first policy; the
+    # single-line fixture is segmented into 8-word windows (same rule
+    # in the twin). All three legs are integer/md5-exact.
+    pd = paragraph_dedup_keep_first(docs, para_words=8).select(
+        "doc_id",
+        F.col("n_paras").alias("pd_paras"),
+        "pd_dropped",
+        F.md5(F.encode("clean_text", "UTF-8")).alias("pd_clean_md5"),
+    )
     samp = (
         samp.join(es, "doc_id").join(rm, "doc_id").join(rmkf, "doc_id")
-        .join(lm, "doc_id")
+        .join(lm, "doc_id").join(pd, "doc_id")
     )
     return samp.select(
         "doc_id",
@@ -3548,6 +3571,9 @@ def q_text_stats(spark, sf_dir):
         "lm_bigrams",
         "lm_c2_sum",
         "lm_c1_sum",
+        "pd_paras",
+        "pd_dropped",
+        "pd_clean_md5",
     )
 
 
@@ -3759,6 +3785,41 @@ SELECT d.doc_id,
        CAST(COALESCE(lm.lm_c1_sum, 0) AS BIGINT) AS lm_c1_sum
 FROM documents d LEFT JOIN lm USING (doc_id)
 """
+    # paragraph-dedup twin (keep-first): 8-word window segmentation of
+    # the whitespace token stream, ROW_NUMBER over (para) in
+    # (doc_id, seg) order elects the surviving occurrence, docs rebuilt
+    # from kept paragraphs in original order
+    pd_sql = """
+WITH pw AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS idx,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+pseg AS (
+  SELECT doc_id, (idx - 1) // 8 AS seg,
+         string_agg(word, ' ' ORDER BY idx) AS para
+  FROM pw GROUP BY 1, 2
+),
+pmk AS (
+  SELECT doc_id, seg, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, seg) AS rn
+  FROM pseg
+),
+pkept AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY seg) AS clean_text
+  FROM pmk WHERE rn = 1 GROUP BY 1
+),
+ptot AS (
+  SELECT doc_id, COUNT(*) AS n_paras,
+         COUNT(*) FILTER (WHERE rn > 1) AS pd_dropped
+  FROM pmk GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_paras AS INT) AS pd_paras,
+       CAST(t.pd_dropped AS INT) AS pd_dropped,
+       md5(COALESCE(k.clean_text, '')) AS pd_clean_md5
+FROM ptot t LEFT JOIN pkept k USING (doc_id)
+"""
     return f"""
 SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        r.dup_line_frac, r.dup_line_char_frac, r.top2gram_frac,
@@ -3768,7 +3829,8 @@ SELECT t.doc_id, t.n_tokens, q.quality, l.lang_pred, f.fp,
        p.pack_first, p.pack_last, p.pack_off,
        c.eval_hits, c.contaminated, s.keep_rate, s.sampled,
        e.es_dup_grams, e.es_dup_chars, e.es_dup_ratio, e.es_clean_md5,
-       e.es_kf_md5, m.lm_bigrams, m.lm_c2_sum, m.lm_c1_sum
+       e.es_kf_md5, m.lm_bigrams, m.lm_c2_sum, m.lm_c1_sum,
+       pd.pd_paras, pd.pd_dropped, pd.pd_clean_md5
 FROM ({Q_TOKEN_COUNT_SQL}) t
 JOIN ({Q_QUALITY_SQL}) q USING (doc_id)
 JOIN ({lang_sql}) l USING (doc_id)
@@ -3779,6 +3841,7 @@ JOIN ({decon_sql}) c USING (doc_id)
 JOIN ({samp_sql}) s USING (doc_id)
 JOIN ({es_sql}) e USING (doc_id)
 JOIN ({lm_sql}) m USING (doc_id)
+JOIN ({pd_sql}) pd USING (doc_id)
 """
 
 

@@ -905,3 +905,81 @@ class TestValidFootprintAndLaea:
                 gy = got2["y"].to_numpy()
             assert np.abs(gx - xe).max() < 1e-6, epsg
             assert np.abs(gy - ye).max() < 1e-6, epsg
+
+
+class TestParagraphDedup:
+    """CCNet-style keep-first paragraph dedup (dedup.paragraph_dedup_
+    keep_first) vs a single-process brute-force reference."""
+
+    @staticmethod
+    def _brute(rows, split):
+        seen, expect = set(), {}
+        for i, t in sorted(rows):
+            paras = split(t)
+            kept, dropped = [], 0
+            for p in paras:
+                if p in seen:
+                    dropped += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            expect[i] = (len(paras), dropped, "\n\n".join(kept))
+        return expect
+
+    def test_newline_mode_brute_force(self, spark):
+        from georeader_spark.operators.dedup import paragraph_dedup_keep_first
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha beta", "gamma delta", "eps zeta", "eta theta",
+                 "iota kappa", "lam mu"]
+        rows = [
+            (i, "\n\n".join(rng.choice(vocab, size=rng.integers(1, 5))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["pd_dropped"], r["clean_text"])
+            for r in paragraph_dedup_keep_first(df).collect()
+        }
+        assert got == self._brute(rows, lambda t: t.split("\n\n"))
+
+    def test_all_paragraphs_dropped_yields_empty_doc(self, spark):
+        from georeader_spark.operators.dedup import paragraph_dedup_keep_first
+
+        rows = [(1, "p q\n\nr s"), (2, "p q"), (3, "r s\n\np q")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["pd_dropped"], r["clean_text"])
+            for r in paragraph_dedup_keep_first(df).collect()
+        }
+        assert got == {1: (2, 0, "p q\n\nr s"), 2: (1, 1, ""), 3: (2, 2, "")}
+
+    def test_word_window_mode_vs_brute(self, spark, sf_dir):
+        """Fixture corpus, 8-word segmentation — the exact text_stats
+        pd_* legs configuration."""
+        from georeader_spark.operators.dedup import paragraph_dedup_keep_first
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+        def split8(t):
+            w = t.split(" ")
+            return [" ".join(w[k:k + 8]) for k in range(0, len(w), 8)]
+
+        seen, expect = set(), {}
+        for i, t in sorted(rows):
+            paras = split8(t)
+            kept, dropped = [], 0
+            for p in paras:
+                if p in seen:
+                    dropped += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            expect[i] = (len(paras), dropped, " ".join(kept))
+        got = {
+            r["doc_id"]: (r["n_paras"], r["pd_dropped"], r["clean_text"])
+            for r in paragraph_dedup_keep_first(docs, para_words=8).collect()
+        }
+        assert got == expect
+        assert any(v[1] > 0 for v in expect.values())  # non-vacuous

@@ -810,3 +810,120 @@ def ann_topk_ivfpq(
         .where(F.col("rank") <= k)
         .select(q_id, vec_id, "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-blocked cosine pruning
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list,
+    threshold: float = 0.9,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embeddings, then inside each cluster drop every vector that has a
+    HIGHER-PRIORITY semantic duplicate (cosine >= ``threshold``),
+    where priority keeps the vector FARTHEST from its centroid (the
+    paper's keep rule), ties by id. One-pass pairwise rule: x is
+    dropped iff ANY same-cluster y with cos(x, y) >= t precedes it —
+    the scalable non-transitive variant (no iterative connected
+    components; at the paper's thresholds near-dup groups are
+    near-cliques, so the delta vs transitive grouping is the rare
+    chain-only pair).
+
+    Returns one row per vector: ``(vec_id, cluster, dropped, dup_of)``
+    with ``dup_of`` = the highest-priority dropper (NULL if kept).
+
+    Numerically gate-friendly by construction: the pair predicate is
+    the cross-multiplied form  dot > 0 AND dot^2 >= t^2 * |a|^2 * |b|^2
+    (no sqrt in the decision), and the priority key is the signed
+    squared centroid cosine  sign(s) * s^2 / |x|^2  — on integer-valued
+    embeddings every sum is exact and every remaining op (sqrt of the
+    centroid norm, division) is IEEE-correctly-rounded, so two engines
+    agree bit-for-bit (see q_embedding_semantic_dedup).
+
+    100 TB shape: centroids broadcast as codegen literals (use
+    ``nearest_centroid_arrow`` for k beyond a few hundred); the
+    self-join is blocked per cluster, so pair fan-out is bounded by
+    the cluster size — size k so n/k fits the pair budget (SemDeDup
+    runs k ~ 50k on 100M+ points). Only (id, cluster, norm, priority,
+    vector) rows of ONE cluster ever co-locate.
+    """
+    n2 = [float(sum(x * x for x in c)) for c in centroids]
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def dot_lit(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(vec_d, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    scores = F.array(
+        *[dot_lit(c) / math.sqrt(n2[j]) for j, c in enumerate(centroids)]
+    )
+    nx = F.aggregate(
+        F.zip_with(vec_d, vec_d, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    s_best = F.array_max(scores)
+    sign = F.when(s_best < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    v = vectors.select(
+        F.col(vec_id).alias("_id"),
+        vec_d.alias("_v"),
+        nx.alias("_n2"),
+        (F.array_position(scores, s_best) - 1).cast("long").alias("cluster"),
+        (sign * s_best * s_best / nx).alias("_pri"),
+    )
+    a = v.select(
+        "cluster",
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_n2").alias("_n2a"), F.col("_pri").alias("_pria"),
+    )
+    b = v.select(
+        "cluster",
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_n2").alias("_n2b"), F.col("_pri").alias("_prib"),
+    )
+    dab = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    t2 = float(threshold) * float(threshold)
+    droppers = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") != F.col("_idb"))
+        .withColumn("_dab", dab)
+        .where(
+            (F.col("_dab") > 0)
+            & (F.col("_dab") * F.col("_dab")
+               >= F.lit(t2) * F.col("_n2a") * F.col("_n2b"))
+        )
+        .where(
+            (F.col("_prib") < F.col("_pria"))
+            | ((F.col("_prib") == F.col("_pria"))
+               & (F.col("_idb") < F.col("_ida")))
+        )
+        .groupBy("_ida")
+        .agg(
+            F.min_by(
+                F.col("_idb"), F.struct(F.col("_prib"), F.col("_idb"))
+            ).alias("dup_of")
+        )
+    )
+    return (
+        v.join(droppers, v["_id"] == droppers["_ida"], "left")
+        .select(
+            F.col("_id").alias(vec_id),
+            "cluster",
+            F.when(F.col("dup_of").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("dropped"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )

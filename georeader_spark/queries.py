@@ -5277,10 +5277,140 @@ FROM r WHERE rank <= 10
 """
 
 
+#: pinned centroids for the semantic-dedup gate: 8 integer centroids,
+#: dim 64 — closed-form so the twin regenerates them; norms exact ints
+SEM_CENTROIDS = [
+    [((i * 7 + j * 11) % 5) - 2 for i in range(64)] for j in range(8)
+]
+
+
+def q_embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup) with a BIT-EXACT oracle:
+    the corpus is the embeddings table integerized by floor(x*8)
+    (float->double widening and floor are exact in every engine) plus
+    25 planted near-duplicates (vec_id+1000000, first element +1 —
+    cos ~ 0.999 against the original, far above tau=0.9 and far below
+    any unplanted pair), clustered against the pinned SEM_CENTROIDS.
+    Every dot/norm is an exact integer sum; the pair decision is the
+    cross-multiplied integer form and the priority key is one
+    correctly-rounded division — so cluster assignment, drop flags and
+    dup_of agree across engines to the bit, with NO margin assumption.
+    Cluster TRAINING stays out of the gate by design (the operator
+    takes any centroids; ivf_train_centroids is the production path,
+    recall-gated in pytest)."""
+    from .operators.similarity import semantic_dedup
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = vecs.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 8).cast("double"),
+        ).alias("embedding"),
+    )
+    jit = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + 1).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(jit)
+    out = semantic_dedup(aug, SEM_CENTROIDS, threshold=0.9)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cluster",
+        "dropped",
+        "dup_of",
+    )
+
+
+def _semantic_dedup_sql(threshold: float = 0.9) -> str:
+    t2 = float(threshold) * float(threshold)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> floor(x * 8)) AS emb
+  FROM embeddings
+),
+v0 AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, len(emb) + 1),
+           i -> CASE WHEN i = 1 THEN emb[1] + 1 ELSE emb[i] END)
+  FROM base WHERE vec_id < 25
+),
+comp AS (
+  SELECT vec_id, CAST(t.i AS INT) AS i, emb[CAST(t.i + 1 AS INT)] AS x
+  FROM v0, range(0, 64) t(i)
+),
+cb AS (
+  SELECT j.range AS j, i.range AS i,
+         CAST(((i.range * 7 + j.range * 11) % 5) - 2 AS DOUBLE) AS w
+  FROM range(0, 8) j, range(0, 64) i
+),
+cn AS (SELECT j, SUM(w * w) AS n2 FROM cb GROUP BY 1),
+sc AS (
+  SELECT comp.vec_id, cb.j, SUM(comp.x * cb.w) / sqrt(cn.n2) AS s
+  FROM comp JOIN cb ON cb.i = comp.i JOIN cn ON cn.j = cb.j
+  GROUP BY comp.vec_id, cb.j, cn.n2
+),
+nx AS (SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY 1),
+asg AS (
+  SELECT vec_id, j AS cluster, s FROM (
+    SELECT vec_id, j, s,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT a.vec_id, a.cluster,
+         (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END) * a.s * a.s / nx.n2
+           AS pri,
+         nx.n2
+  FROM asg a JOIN nx USING (vec_id)
+),
+pdot AS (
+  SELECT va.vec_id AS ida, vb.vec_id AS idb,
+         SUM(ca.x * cb2.x) AS dab
+  FROM v va JOIN v vb
+       ON va.cluster = vb.cluster AND va.vec_id <> vb.vec_id
+  JOIN comp ca ON ca.vec_id = va.vec_id
+  JOIN comp cb2 ON cb2.vec_id = vb.vec_id AND cb2.i = ca.i
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT p.ida, p.idb, vb.pri AS prib, vb.vec_id
+  FROM pdot p
+  JOIN v va ON va.vec_id = p.ida
+  JOIN v vb ON vb.vec_id = p.idb
+  WHERE p.dab > 0 AND p.dab * p.dab >= {t2!r} * va.n2 * vb.n2
+    AND (vb.pri < va.pri OR (vb.pri = va.pri AND vb.vec_id < va.vec_id))
+),
+dsel AS (
+  SELECT ida, idb AS dup_of FROM (
+    SELECT ida, idb,
+           ROW_NUMBER() OVER (PARTITION BY ida ORDER BY prib, idb) AS rn
+    FROM drops
+  ) WHERE rn = 1
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS dropped,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM v LEFT JOIN dsel d ON d.ida = v.vec_id
+"""
+
+
 REGISTRY.update(
     {
         "raster_griddata_exact": (q_griddata_exact, Q_GRIDDATA_EXACT_SQL),
         "ann_pq_adc_exact": (q_ann_pq_adc_exact, Q_ANN_PQ_ADC_EXACT_SQL),
+        "embedding_semantic_dedup": (
+            q_embedding_semantic_dedup, _semantic_dedup_sql()
+        ),
     }
 )
 
@@ -5311,7 +5441,9 @@ REGISTRY.update(
 # them; the driver records its weaker rows-only result for slots > 50.
 # These exist to oracle-gate math that lives inside otherwise
 # rows-only operators (judge r4 'what's missing' #3).
-_EXTRA_ORACLE = {"raster_griddata_exact", "ann_pq_adc_exact"}
+_EXTRA_ORACLE = {
+    "raster_griddata_exact", "ann_pq_adc_exact", "embedding_semantic_dedup",
+}
 
 _oracle_gated = {
     n: v for n, v in REGISTRY.items()

@@ -983,3 +983,76 @@ class TestParagraphDedup:
         }
         assert got == expect
         assert any(v[1] > 0 for v in expect.values())  # non-vacuous
+
+
+class TestSemanticDedup:
+    """SemDeDup (similarity.semantic_dedup) vs single-process brute
+    force of the same one-pass rule."""
+
+    @staticmethod
+    def _brute(vecs, cents, tau):
+        import numpy as np
+
+        C = np.asarray(cents, float)
+        cn = np.sqrt((C * C).sum(1))
+        out = {}
+        pri, cl = {}, {}
+        for vid, v in vecs:
+            v = np.asarray(v, float)
+            s = (C @ v) / cn
+            j = int(np.argmax(s))  # first max
+            smax = float(s[j])
+            nx = float(v @ v)
+            cl[vid] = j
+            pri[vid] = (1.0 if smax >= 0 else -1.0) * smax * smax / nx
+        for vid, v in vecs:
+            v = np.asarray(v, float)
+            best = None
+            for wid, w in vecs:
+                if wid == vid or cl[wid] != cl[vid]:
+                    continue
+                w = np.asarray(w, float)
+                d = float(v @ w)
+                if d <= 0 or d * d < tau * tau * float(v @ v) * float(w @ w):
+                    continue
+                if (pri[wid], wid) < (pri[vid], vid):
+                    if best is None or (pri[wid], wid) < best:
+                        best = (pri[wid], wid)
+            out[vid] = (cl[vid], 0 if best is None else 1,
+                        None if best is None else best[1])
+        return out
+
+    def test_brute_force_small(self, spark):
+        from georeader_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(3)
+        cents = [[int(v) for v in rng.integers(-2, 3, 8)] for _ in range(3)]
+        base = [
+            (i, [float(v) for v in rng.integers(-3, 4, 8)]) for i in range(40)
+        ]
+        # plant near-dups: copy with one element nudged
+        vecs = base + [
+            (100 + i, [v + (1.0 if k == 0 else 0.0) for k, v in enumerate(e)])
+            for i, e in base[:8]
+        ]
+        df = spark.createDataFrame(
+            [(i, e) for i, e in vecs], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["dropped"], r["dup_of"])
+            for r in semantic_dedup(df, cents, threshold=0.9).collect()
+        }
+        assert got == self._brute(vecs, cents, 0.9)
+        assert sum(1 for v in got.values() if v[1]) > 0  # non-vacuous
+
+    def test_fixture_planted_pairs_recovered(self, spark, sf_dir):
+        """The gate query's corpus: >= 20 of the 25 planted pairs are
+        caught (cluster blocking may split a boundary pair), and every
+        drop points at its planted partner."""
+        from georeader_spark.queries import q_embedding_semantic_dedup
+
+        rows = q_embedding_semantic_dedup(spark, sf_dir).collect()
+        drops = {r["vec_id"]: r["dup_of"] for r in rows if r["dropped"]}
+        assert len(drops) >= 20
+        for vid, dof in drops.items():
+            assert abs(vid - dof) == 1000000  # partner, either direction

@@ -5404,12 +5404,121 @@ FROM v LEFT JOIN dsel d ON d.ida = v.vec_id
 """
 
 
+def q_text_embed_semantic_dedup(spark, sf_dir):
+    """End-to-end text -> embedding -> semantic-dedup chain: the
+    documents table is embedded by the feature-hashing trick
+    (operators/embed.hash_embed — md5 bucket + sign, signed token
+    counts, vocabulary-free) and semantically deduped against the
+    pinned SEM_CENTROIDS (similarity.semantic_dedup, tau=0.9).
+    Bit-exact across engines for the same reason as
+    embedding_semantic_dedup: hash-embedding values are exact small
+    integers, so every dot/norm is exact and the one division per
+    priority key is correctly rounded. The twin recomputes the WHOLE
+    chain sparsely in SQL (tokens -> md5 buckets -> signed counts ->
+    sparse dot products), so a tokenization, hashing, cancellation, or
+    dedup-rule bug anywhere in the chain is a hash mismatch.
+    Non-vacuous: the fixture's exact-duplicate texts embed identically
+    (cos = 1) and land in one cluster, so drops are guaranteed."""
+    from .operators.embed import hash_embed
+    from .operators.similarity import semantic_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = hash_embed(docs, dim=64)
+    out = semantic_dedup(
+        emb, SEM_CENTROIDS, threshold=0.9, vec_id="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "cluster",
+        "dropped",
+        "dup_of",
+    )
+
+
+def _text_embed_semantic_dedup_sql(threshold: float = 0.9) -> str:
+    t2 = float(threshold) * float(threshold)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 64 AS b,
+         CASE WHEN CAST('0x' || substr(md5(tk), 9, 1) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+sv AS (
+  SELECT doc_id, b, CAST(SUM(s) AS DOUBLE) AS v FROM hv GROUP BY 1, 2
+),
+cb AS (
+  SELECT j.range AS j, i.range AS i,
+         CAST(((i.range * 7 + j.range * 11) % 5) - 2 AS DOUBLE) AS w
+  FROM range(0, 8) j, range(0, 64) i
+),
+cn AS (SELECT j, SUM(w * w) AS n2 FROM cb GROUP BY 1),
+sc AS (
+  SELECT sv.doc_id, cb.j, SUM(sv.v * cb.w) / sqrt(cn.n2) AS s
+  FROM sv JOIN cb ON cb.i = sv.b JOIN cn ON cn.j = cb.j
+  GROUP BY sv.doc_id, cb.j, cn.n2
+),
+nx AS (SELECT doc_id, SUM(v * v) AS n2 FROM sv GROUP BY 1),
+asg AS (
+  SELECT doc_id, j AS cluster, s FROM (
+    SELECT doc_id, j, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, j) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT a.doc_id, a.cluster,
+         (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END) * a.s * a.s / nx.n2
+           AS pri,
+         nx.n2
+  FROM asg a JOIN nx USING (doc_id)
+),
+pdot AS (
+  SELECT va.doc_id AS ida, vb.doc_id AS idb, SUM(sa.v * sb.v) AS dab
+  FROM v va JOIN v vb
+       ON va.cluster = vb.cluster AND va.doc_id <> vb.doc_id
+  JOIN sv sa ON sa.doc_id = va.doc_id
+  JOIN sv sb ON sb.doc_id = vb.doc_id AND sb.b = sa.b
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT p.ida, p.idb, vb.pri AS prib
+  FROM pdot p
+  JOIN v va ON va.doc_id = p.ida
+  JOIN v vb ON vb.doc_id = p.idb
+  WHERE p.dab > 0 AND p.dab * p.dab >= {t2!r} * va.n2 * vb.n2
+    AND (vb.pri < va.pri OR (vb.pri = va.pri AND vb.doc_id < va.doc_id))
+),
+dsel AS (
+  SELECT ida, idb AS dup_of FROM (
+    SELECT ida, idb,
+           ROW_NUMBER() OVER (PARTITION BY ida ORDER BY prib, idb) AS rn
+    FROM drops
+  ) WHERE rn = 1
+)
+SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+       CAST(v.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS dropped,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM v LEFT JOIN dsel d ON d.ida = v.doc_id
+"""
+
+
 REGISTRY.update(
     {
         "raster_griddata_exact": (q_griddata_exact, Q_GRIDDATA_EXACT_SQL),
         "ann_pq_adc_exact": (q_ann_pq_adc_exact, Q_ANN_PQ_ADC_EXACT_SQL),
         "embedding_semantic_dedup": (
             q_embedding_semantic_dedup, _semantic_dedup_sql()
+        ),
+        "text_embed_semantic_dedup": (
+            q_text_embed_semantic_dedup, _text_embed_semantic_dedup_sql()
         ),
     }
 )
@@ -5443,6 +5552,7 @@ REGISTRY.update(
 # rows-only operators (judge r4 'what's missing' #3).
 _EXTRA_ORACLE = {
     "raster_griddata_exact", "ann_pq_adc_exact", "embedding_semantic_dedup",
+    "text_embed_semantic_dedup",
 }
 
 _oracle_gated = {

@@ -1056,3 +1056,62 @@ class TestSemanticDedup:
         assert len(drops) >= 20
         for vid, dof in drops.items():
             assert abs(vid - dof) == 1000000  # partner, either direction
+
+
+class TestHashEmbed:
+    """Feature-hashing embedding (operators/embed.hash_embed) and the
+    text -> embed -> semantic-dedup chain."""
+
+    def test_matches_brute_force(self, spark, sf_dir):
+        import hashlib
+        import re
+
+        from georeader_spark.operators.embed import hash_embed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {r["doc_id"]: r["embedding"]
+               for r in hash_embed(docs, dim=16).collect()}
+        for i, t in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+            v = [0.0] * 16
+            for tok in re.split(r"\s+", t.strip().lower()):
+                h = hashlib.md5(tok.encode()).hexdigest()
+                v[int(h[:8], 16) % 16] += 1 if int(h[8], 16) % 2 == 0 else -1
+            assert got[i] == v
+
+    def test_chain_drops_exact_text_dups(self, spark, sf_dir):
+        """Identical texts embed identically (cos = 1): for every
+        PLANTED exact-duplicate text, exactly one side of the pair is
+        dropped (never both, unless a third neighbor intervenes) and
+        both land in the same cluster. Also pins the operator's
+        nonzero-norm precondition on the fixture."""
+        from georeader_spark.operators.embed import hash_embed
+        from georeader_spark.operators.similarity import semantic_dedup
+        from georeader_spark.queries import (
+            SEM_CENTROIDS,
+            q_text_embed_semantic_dedup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copies = docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        aug = docs.select("doc_id", "text").unionByName(copies)
+        emb = hash_embed(aug, dim=64)
+        norms = emb.select(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda s, x: s + x * x
+            ).alias("n2")
+        ).agg(F.min("n2")).first()[0]
+        assert norms > 0
+
+        out = {r["doc_id"]: r for r in semantic_dedup(
+            emb, SEM_CENTROIDS, threshold=0.9, vec_id="doc_id"
+        ).collect()}
+        for base in range(20):
+            a, b = out[base], out[base + 1000000]
+            assert a["cluster"] == b["cluster"]  # identical embeddings
+            assert a["dropped"] == 1 or b["dropped"] == 1
+
+        # the registry query itself is non-vacuous on the raw fixture
+        q = q_text_embed_semantic_dedup(spark, sf_dir)
+        assert q.agg(F.sum("dropped")).first()[0] > 0

@@ -5510,6 +5510,163 @@ FROM v LEFT JOIN dsel d ON d.ida = v.doc_id
 """
 
 
+#: badwords for the cleaning gate — fixture-vocabulary members so the
+#: ratio legs are non-vacuous
+BADWORDS = ["slow", "dup", "big"]
+
+
+def q_text_cleaning(spark, sf_dir):
+    """Corpus-cleaning chain (operators/cleaning.py): PII redaction ->
+    C4 line filtering over the redacted text, plus badword-ratio
+    flagging — the standard pre-training scrub stages (C4 Raffel et
+    al. 2020 §2.2; CCNet/RefinedWeb PII practice).
+
+    The single-line fixture carries no newlines or PII, so the query
+    derives a multi-line corpus IN-QUERY, identically in the twin:
+    6-word lines with deterministic terminal punctuation ((doc_id+i)%3),
+    planted 'javascript' ((doc_id+i)%7) and '{' ((doc_id+i)%11) lines,
+    and a planted PII tail line (email + IPv4 + intl phone) on every
+    doc_id%5==0 document. Every regex sits in the Java-regex ∩ RE2
+    common subset and the twin applies the same patterns in the same
+    order with DuckDB's 'g' flag, so pii_md5/c4_md5 gate the full
+    rewrite byte-for-byte; counts and the cross-engine-exact ratio
+    flag are integers."""
+    from .operators.cleaning import (
+        badword_flag_cols,
+        c4_line_filter_cols,
+        redact_pii_cols,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(6)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+            F.when((did + i) % 7 == 0, F.lit(" javascript")).otherwise(
+                F.lit("")
+            ),
+            F.when((did + i) % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    body = F.array_join(lines, "\n")
+    pii_line = F.format_string(
+        "contact user%d@example.com at 10.0.%d.7 or +1212555%04d now.",
+        did, did % 256, did % 100,
+    )
+    derived = F.when(
+        did % 5 == 0, F.concat(body, F.lit("\n"), pii_line)
+    ).otherwise(body)
+
+    d = docs.select("doc_id", derived.alias("_t"), F.col("text"))
+    pii = redact_pii_cols(F.col("_t"))
+    d = d.withColumns(pii)
+    c4 = c4_line_filter_cols(F.col("pii_clean"))
+    d = d.withColumns(c4)
+    bw = badword_flag_cols(F.col("text"), BADWORDS, max_ratio=0.1)
+    d = d.withColumns(bw)
+    return d.select(
+        "doc_id",
+        "n_emails", "n_ips", "n_phones",
+        F.md5(F.encode("pii_clean", "UTF-8")).alias("pii_md5"),
+        "n_lines", "n_kept_lines",
+        F.md5(F.encode("c4_clean", "UTF-8")).alias("c4_md5"),
+        "n_badwords", "n_tokens_bw", "bw_flagged",
+    )
+
+
+def _text_cleaning_sql() -> str:
+    from .operators.cleaning import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    # the Spark patterns verbatim (DuckDB single-quoted literals do NOT
+    # process backslashes, so no escaping beyond quote doubling); DuckDB
+    # needs the 'g' flag for replace-all (Spark replaces all by default)
+    email = EMAIL_RE.replace("'", "''")
+    ipv4 = IPV4_RE.replace("'", "''")
+    phone = PHONE_RE.replace("'", "''")
+    badlist = ", ".join(f"'{w}'" for w in BADWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+der AS (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+             i -> array_to_string(toks[(i*6 + 1):(i*6 + 6)], ' ')
+                  || (CASE WHEN (doc_id + i) % 7 = 0
+                           THEN ' javascript' ELSE '' END)
+                  || (CASE WHEN (doc_id + i) % 11 = 0
+                           THEN ' {{' ELSE '' END)
+                  || (CASE WHEN (doc_id + i) % 3 <> 0
+                           THEN '.' ELSE '' END)),
+           chr(10))
+         || (CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'contact user' || doc_id
+                   || '@example.com at 10.0.' || (doc_id % 256)
+                   || '.7 or +1212555' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+                   || ' now.'
+              ELSE '' END) AS t
+  FROM base
+),
+pii AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(t, '{email}')) AS n_emails,
+         regexp_replace(t, '{email}', '<EMAIL>', 'g') AS s1
+  FROM der
+),
+pii2 AS (
+  SELECT doc_id, text, n_emails,
+         len(regexp_extract_all(s1, '{ipv4}')) AS n_ips,
+         regexp_replace(s1, '{ipv4}', '<IP>', 'g') AS s2
+  FROM pii
+),
+pii3 AS (
+  SELECT doc_id, text, n_emails, n_ips,
+         len(regexp_extract_all(s2, '{phone}')) AS n_phones,
+         regexp_replace(s2, '{phone}', '<PHONE>', 'g') AS pii_clean
+  FROM pii2
+),
+c4 AS (
+  SELECT doc_id, text, n_emails, n_ips, n_phones, pii_clean,
+         string_split(pii_clean, chr(10)) AS ls
+  FROM pii3
+),
+c4k AS (
+  SELECT *,
+         list_filter(ls, ln ->
+           list_contains(['.', '!', '?', '"'], right(trim(ln), 1))
+           AND len(string_split_regex(trim(ln), '\s+')) >= 4
+           AND NOT contains(lower(trim(ln)), 'javascript')
+           AND NOT contains(trim(ln), '{{')) AS kept
+  FROM c4
+),
+bw AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x IN ({badlist}))) AS n_badwords,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens_bw
+  FROM documents
+)
+SELECT c.doc_id,
+       CAST(c.n_emails AS BIGINT) AS n_emails,
+       CAST(c.n_ips AS BIGINT) AS n_ips,
+       CAST(c.n_phones AS BIGINT) AS n_phones,
+       md5(c.pii_clean) AS pii_md5,
+       CAST(len(c.ls) AS BIGINT) AS n_lines,
+       CAST(len(c.kept) AS BIGINT) AS n_kept_lines,
+       md5(COALESCE(array_to_string(c.kept, chr(10)), '')) AS c4_md5,
+       CAST(b.n_badwords AS BIGINT) AS n_badwords,
+       CAST(b.n_tokens_bw AS BIGINT) AS n_tokens_bw,
+       CAST(CAST(b.n_badwords AS DOUBLE) > 0.1 * CAST(b.n_tokens_bw AS DOUBLE)
+            AS BIGINT) AS bw_flagged
+FROM c4k c JOIN bw b USING (doc_id)
+"""
+
+
 REGISTRY.update(
     {
         "raster_griddata_exact": (q_griddata_exact, Q_GRIDDATA_EXACT_SQL),
@@ -5520,6 +5677,7 @@ REGISTRY.update(
         "text_embed_semantic_dedup": (
             q_text_embed_semantic_dedup, _text_embed_semantic_dedup_sql()
         ),
+        "text_cleaning": (q_text_cleaning, _text_cleaning_sql()),
     }
 )
 
@@ -5552,7 +5710,7 @@ REGISTRY.update(
 # rows-only operators (judge r4 'what's missing' #3).
 _EXTRA_ORACLE = {
     "raster_griddata_exact", "ann_pq_adc_exact", "embedding_semantic_dedup",
-    "text_embed_semantic_dedup",
+    "text_embed_semantic_dedup", "text_cleaning",
 }
 
 _oracle_gated = {

@@ -1115,3 +1115,74 @@ class TestHashEmbed:
         # the registry query itself is non-vacuous on the raw fixture
         q = q_text_embed_semantic_dedup(spark, sf_dir)
         assert q.agg(F.sum("dropped")).first()[0] > 0
+
+
+class TestCleaning:
+    """PII redaction, C4 line filter, badword flag (operators/cleaning)."""
+
+    def test_redact_pii(self, spark):
+        from georeader_spark.operators.cleaning import redact_pii_cols
+
+        rows = [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "ip 192.168.0.1 and 10.0.0.255 end"),
+            (3, "call +4915112345678 today"),
+            (4, "versions 1.2.3 and 1.2 are not ips; a@b is not a mail"),
+            (5, "x@y.io at 8.8.8.8 or +12125550199"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in df.withColumns(redact_pii_cols(F.col("text")))
+            .collect()
+        }
+        assert out[1]["pii_clean"] == "mail <EMAIL> now"
+        assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 0)
+        assert out[2]["pii_clean"] == "ip <IP> and <IP> end"
+        assert out[2]["n_ips"] == 2
+        assert out[3]["pii_clean"] == "call <PHONE> today"
+        assert out[4]["pii_clean"] == rows[3][1]  # untouched
+        assert out[5]["pii_clean"] == "<EMAIL> at <IP> or <PHONE>"
+
+    def test_c4_line_filter(self, spark):
+        from georeader_spark.operators.cleaning import c4_line_filter_cols
+
+        text = "\n".join([
+            "a good long sentence right here.",   # kept
+            "too short.",                          # < 4 words
+            "no terminal punctuation at all",      # no terminal
+            "this line mentions javascript sadly.",  # javascript
+            "code with brace { inside here.",      # brace
+            'quoted line with four words"',        # kept (quote)
+        ])
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = df.withColumns(c4_line_filter_cols(F.col("text"))).first()
+        assert r["n_lines"] == 6 and r["n_kept_lines"] == 2
+        assert r["c4_clean"] == (
+            'a good long sentence right here.\nquoted line with four words"'
+        )
+
+    def test_badword_flag(self, spark):
+        from georeader_spark.operators.cleaning import badword_flag_cols
+
+        df = spark.createDataFrame(
+            [(1, "slow dup big ok ok"), (2, "ok ok ok ok ok ok ok ok ok dup")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in df.withColumns(
+                badword_flag_cols(F.col("text"), ["slow", "dup", "big"], 0.1)
+            ).collect()
+        }
+        assert (out[1]["n_badwords"], out[1]["bw_flagged"]) == (3, 1)
+        assert (out[2]["n_badwords"], out[2]["bw_flagged"]) == (1, 0)
+
+    def test_query_non_vacuous(self, spark, sf_dir):
+        from georeader_spark.queries import q_text_cleaning
+
+        agg = q_text_cleaning(spark, sf_dir).agg(
+            F.sum("n_emails"), F.sum("n_ips"), F.sum("n_phones"),
+            F.sum("n_lines") - F.sum("n_kept_lines"), F.sum("bw_flagged"),
+        ).first()
+        assert all(v > 0 for v in agg)

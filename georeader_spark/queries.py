@@ -5510,6 +5510,42 @@ FROM v LEFT JOIN dsel d ON d.ida = v.doc_id
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Exact per-language corpus profile (operators/stats.corpus_stats)
+    over (documents x {lang, source, n_chars}): counts, exact distinct
+    sources, char sums/extrema, and EXACT quartiles — hashable because
+    p in {.25, .5, .75} over integer inputs interpolates to exact
+    multiples of 2^-2, identical under any interpolation shape (module
+    docstring). The sketched tier (HLL++ distinct, GK quantiles —
+    the constant-state 100 TB plan) is NOT hashed by design; its error
+    is pinned against this exact tier in pytest (TestCorpusStats)."""
+    from .operators.stats import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_stats(docs)
+    return out.select(
+        "lang", "n_docs", "n_distinct", "v_sum",
+        F.col("v_min").cast("long").alias("v_min"),
+        F.col("v_max").cast("long").alias("v_max"),
+        "v_q1", "v_med", "v_q3",
+    )
+
+
+Q_CORPUS_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_distinct,
+       SUM(n_chars) AS v_sum,
+       CAST(MIN(n_chars) AS BIGINT) AS v_min,
+       CAST(MAX(n_chars) AS BIGINT) AS v_max,
+       quantile_cont(n_chars, 0.25) AS v_q1,
+       quantile_cont(n_chars, 0.5) AS v_med,
+       quantile_cont(n_chars, 0.75) AS v_q3
+FROM documents
+GROUP BY lang
+"""
+
+
 #: badwords for the cleaning gate — fixture-vocabulary members so the
 #: ratio legs are non-vacuous
 BADWORDS = ["slow", "dup", "big"]
@@ -5678,6 +5714,7 @@ REGISTRY.update(
             q_text_embed_semantic_dedup, _text_embed_semantic_dedup_sql()
         ),
         "text_cleaning": (q_text_cleaning, _text_cleaning_sql()),
+        "corpus_stats": (q_corpus_stats, Q_CORPUS_STATS_SQL),
     }
 )
 
@@ -5710,7 +5747,7 @@ REGISTRY.update(
 # rows-only operators (judge r4 'what's missing' #3).
 _EXTRA_ORACLE = {
     "raster_griddata_exact", "ann_pq_adc_exact", "embedding_semantic_dedup",
-    "text_embed_semantic_dedup", "text_cleaning",
+    "text_embed_semantic_dedup", "text_cleaning", "corpus_stats",
 }
 
 _oracle_gated = {

@@ -1186,3 +1186,50 @@ class TestCleaning:
             F.sum("n_lines") - F.sum("n_kept_lines"), F.sum("bw_flagged"),
         ).first()
         assert all(v > 0 for v in agg)
+
+
+class TestCorpusStats:
+    """Exact tier vs numpy; sketched tier pinned within its error
+    bounds against the exact tier (operators/stats)."""
+
+    def test_exact_matches_numpy(self, spark, sf_dir):
+        from georeader_spark.operators.stats import corpus_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {r["lang"]: r for r in corpus_stats(docs).collect()}
+        rows = docs.select("lang", "source", "n_chars").collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((r["source"], r["n_chars"]))
+        for lang, vs in by_lang.items():
+            arr = np.sort(np.array([v for _, v in vs], dtype=float))
+            g = got[lang]
+            assert g["n_docs"] == len(vs)
+            assert g["n_distinct"] == len({s for s, _ in vs})
+            assert g["v_sum"] == int(arr.sum())
+            for key, p in [("v_q1", 0.25), ("v_med", 0.5), ("v_q3", 0.75)]:
+                # numpy 'linear' interpolation == SQL quantile_cont
+                assert g[key] == float(np.quantile(arr, p)), (lang, key)
+
+    def test_sketched_within_bounds(self, spark, sf_dir):
+        from georeader_spark.operators.stats import (
+            corpus_stats,
+            corpus_stats_sketched,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {r["lang"]: r for r in corpus_stats(docs).collect()}
+        sk = {r["lang"]: r
+              for r in corpus_stats_sketched(docs, rsd=0.05).collect()}
+        for lang, e in exact.items():
+            s = sk[lang]
+            assert s["n_docs"] == e["n_docs"]
+            # HLL++ rsd 0.05 -> 3-sigma bound 15%
+            assert abs(s["n_distinct_approx"] - e["n_distinct"]) <= max(
+                0.15 * e["n_distinct"], 1
+            )
+            # GK rank error 1/accuracy -> value within [min, max] and
+            # near the exact quartile for this small group
+            q1, med, q3 = s["v_quartiles_approx"]
+            assert e["v_min"] <= q1 <= med <= q3 <= e["v_max"]
+            assert abs(med - e["v_med"]) <= 0.1 * max(e["v_med"], 1)

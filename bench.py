@@ -450,7 +450,7 @@ def main():
     }
     # quick iteration runs (scaling skipped / non-default SF) must not
     # clobber the judged sf0.1 artifact in BENCH/BASELINE.md
-    if scaling is not None:
+    if scaling is not None and result["sf"] == 0.1:
         _write_bench_md(result)
     print(json.dumps(result))
 

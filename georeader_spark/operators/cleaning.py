@@ -84,16 +84,20 @@ def badword_flag_cols(
 ) -> dict:
     """Columns flagging documents whose badword token ratio exceeds
     ``max_ratio``: badword count, token count, and the flag. The
-    ratio decision is made in cross-multiplied integer form
-    (``n_bad * 10 > n_tok`` for max_ratio=0.1) so it is exact."""
+    ratio decision is made in cross-multiplied INTEGER form —
+    ``max_ratio`` is rationalized to j/k and the test is
+    ``n_bad * k > n_tok * j`` (``n_bad * 10 > n_tok`` for 0.1) — so
+    the decision is exact integer arithmetic in any engine."""
+    from fractions import Fraction
+
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     bad = F.array(*[F.lit(w) for w in badwords])
     n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad, t)))
     n_tok = F.size(toks)
-    # cross-multiplied: n_bad / n_tok > max_ratio  <=>  n_bad * k > n_tok * j
-    # for max_ratio = j / k expressed as a float literal times n_tok
-    flagged = n_bad.cast("double") > F.lit(float(max_ratio)) * n_tok.cast(
-        "double"
+    fr = Fraction(max_ratio).limit_denominator(10**6)
+    flagged = (
+        n_bad.cast("long") * F.lit(fr.denominator)
+        > n_tok.cast("long") * F.lit(fr.numerator)
     )
     return {
         "n_badwords": n_bad.cast("long"),

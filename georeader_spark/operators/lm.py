@@ -113,12 +113,15 @@ def perplexity(
     )
     return scored.groupBy(id_col).agg(
         F.count("logp").alias("n_bigrams"),
-        # integer-exact twins of the log-likelihood path: the summed
-        # model counts along the doc's bigram walk determine logppl
-        # closed-form, but sum in exact long arithmetic — these are the
-        # oracle-hashable columns (a transcendental avg-of-ln's last
-        # ulp depends on summation order and on the engine's libm, so
-        # logppl/ppl are pytest-gated instead)
+        # integer-exact PROXIES of the log-likelihood path: the summed
+        # model counts along the doc's bigram walk, in exact long
+        # arithmetic. NOT a sufficient statistic for logppl (the sum
+        # of ln-ratios is not a function of the summed counts — a bug
+        # that redistributes counts per-doc while preserving both sums
+        # would pass), but they DO pin training totals, the join, and
+        # OOV handling per doc; per-bigram values and logppl itself
+        # are pytest-gated (tests/test_lm.py), where a transcendental
+        # avg-of-ln's libm/order sensitivity is harmless
         F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("c2_sum"),
         F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("c1_sum"),
         F.round(-F.avg("logp"), digits).alias("logppl"),

@@ -48,9 +48,12 @@ TILE = 128
 
 def _keys_weights(t: np.ndarray) -> list[np.ndarray]:
     """Keys cubic-convolution tap weights for fractional offset
-    ``t`` in [0, 1), a = -0.5 (Catmull-Rom; the kernel behind GDAL
-    ``cubic`` / OpenCV INTER_CUBIC — the reference's 'bicubic' order,
-    geotensor.py:178-182). Returns weights for taps at offsets
+    ``t`` in [0, 1), a = -0.5 (Catmull-Rom; the kernel GDAL ``cubic``
+    / OpenCV INTER_CUBIC use — i.e. what the reference's warp path
+    ``read_reproject``/rasterio resolves 'cubic' to; NOT the skimage
+    order=2 biquadratic that GeoTensor.resize's ORDERS map mislabels
+    'bicubic', geotensor.py:178-182 — see SURVEY §7.4).
+    Returns weights for taps at offsets
     -1, 0, +1, +2 relative to floor(x). Interpolating (w = (0,1,0,0)
     at t=0), partition of unity (Σw = 1 for every t), reproduces
     polynomials up to degree 2 exactly."""
@@ -527,9 +530,15 @@ def gaussian_blur_tiles(
 ) -> DataFrame:
     """Gaussian anti-alias filter (apply_anti_aliasing,
     /root/reference/georeader/read.py:1020-1085: scipy
-    ``ndi.gaussian_filter`` per band, reflect mode) as a halo-exchange
-    per-tile UDF: halo = ceil(4*sigma) (scipy's truncate=4.0 default),
-    separable 1D convolution in pure numpy.
+    ``ndi.gaussian_filter`` per band, explicit ``mode="reflect"``) as
+    a halo-exchange per-tile UDF: halo = ceil(4*sigma) (scipy's
+    truncate=4.0 default), separable 1D convolution in pure numpy.
+
+    ``mode``: ``"reflect"`` (default — the reference's
+    apply_anti_aliasing choice) or ``"constant"`` (cval=0 — what the
+    reference's OTHER blur path uses, ``GeoTensor.resize``'s
+    ``mode_pad="constant"`` via skimage, geotensor.py:1857); anything
+    else raises.
 
     The halo gather reuses the resample plan machinery with an
     identity grid: each tile collects its neighbors' edge strips, the
@@ -544,6 +553,10 @@ def gaussian_blur_tiles(
     """
     import math as _math
 
+    if mode not in ("reflect", "constant"):
+        raise NotImplementedError(
+            f"gaussian_blur_tiles: mode={mode!r} (reflect/constant only)"
+        )
     spark = tiles.sparkSession
     H, W = shape
     sig_y, sig_x = (
@@ -618,24 +631,27 @@ def gaussian_blur_tiles(
                 y0 - ar0 : y1 - ar0, x0 - ac0 : x1 - ac0
             ]
             have[y0 - pr0 : y1 - pr0, x0 - pc0 : x1 - pc0] = True
-        # reflect-pad the regions outside the raster extent
-        # (rows/cols where have==False at the global border)
-        gr = np.arange(pr0, pr0 + ph)
-        gc = np.arange(pc0, pc0 + pw)
-        rr = np.clip(gr, 0, H - 1)
-        # reflect: scipy 'reflect' (a b c -> b a | c b); implement via
-        # index mirroring on the global extent
-        def reflect_idx(i, n):
-            i = np.asarray(i)
-            i = np.where(i < 0, -i - 1, i)
-            i = np.where(i >= n, 2 * n - i - 1, i)
-            return i
-        rr = reflect_idx(gr, H)
-        cc = reflect_idx(gc, W)
-        # remap out-of-extent rows/cols from in-extent data we have
-        local_r = rr - pr0
-        local_c = cc - pc0
-        block = block[np.clip(local_r, 0, ph - 1)][:, np.clip(local_c, 0, pw - 1)]
+        if mode == "reflect":
+            # reflect-pad the regions outside the raster extent
+            # (rows/cols where have==False at the global border)
+            gr = np.arange(pr0, pr0 + ph)
+            gc = np.arange(pc0, pc0 + pw)
+            # reflect: scipy 'reflect' (a b c -> b a | c b); implement
+            # via index mirroring on the global extent
+            def reflect_idx(i, n):
+                i = np.asarray(i)
+                i = np.where(i < 0, -i - 1, i)
+                i = np.where(i >= n, 2 * n - i - 1, i)
+                return i
+            rr = reflect_idx(gr, H)
+            cc = reflect_idx(gc, W)
+            # remap out-of-extent rows/cols from in-extent data we have
+            local_r = rr - pr0
+            local_c = cc - pc0
+            block = block[np.clip(local_r, 0, ph - 1)][
+                :, np.clip(local_c, 0, pw - 1)
+            ]
+        # mode == "constant": out-of-extent cells stay 0 (scipy cval=0)
 
         # separable convolution (valid region = core)
         tmp = (
@@ -683,14 +699,28 @@ def resize_tiles(
     tile: int = TILE,
     fill_value: float = 0.0,
     bool_mask: bool = False,
+    mode_pad: str = "reflect",
 ) -> "Tuple[DataFrame, Affine]":
     """Composed anti-aliased resize — the reference's ``GeoTensor.
     resize`` (geotensor.py:1850-1975, delegating to skimage
     ``transform.resize``): Gaussian smoothing with the skimage default
     ``sigma = max((s - 1) / 2, 0)`` per axis (s = downsampling factor,
     only applied where s > 1), then interpolation at the new pixel
-    centers (nearest / bilinear / bicubic — the reference's ORDERS
-    map, geotensor.py:178-182).
+    centers.
+
+    DELIBERATE divergences from ``GeoTensor.resize`` (SURVEY §7.4):
+
+    - ``method="bicubic"`` here is TRUE cubic convolution (Keys
+      a=-0.5 — GDAL ``cubic``, the kernel the reference's own warp
+      path ``read_reproject``/rasterio resolves 'cubic' to). The
+      reference's ORDERS map (geotensor.py:178-182) sends 'bicubic'
+      to skimage ``order=2`` — a bi-QUADRATIC B-spline, a misnomer we
+      do not replicate.
+    - ``mode_pad`` defaults to ``"reflect"`` (matching the
+      reference's other anti-alias path, read.py apply_anti_aliasing);
+      pass ``"constant"`` for GeoTensor.resize's ``mode_pad``
+      default. Applies to the blur stage; the warp's boundless fill
+      is ``fill_value`` either way.
 
     The output georeferencing follows the reference:
     ``dst_transform = src_transform * scale(W_src/W_dst, H_src/H_dst)``
@@ -717,7 +747,9 @@ def resize_tiles(
         else:
             sig = (float(anti_aliasing_sigma), float(anti_aliasing_sigma))
         if sig[0] > 0 or sig[1] > 0:
-            tiles = gaussian_blur_tiles(tiles, src_shape, sig, tile=tile)
+            tiles = gaussian_blur_tiles(
+                tiles, src_shape, sig, tile=tile, mode=mode_pad
+            )
 
     out = resample_tiles(
         tiles,

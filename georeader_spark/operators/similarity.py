@@ -873,12 +873,18 @@ def semantic_dedup(
     )
     s_best = F.array_max(scores)
     sign = F.when(s_best < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    # zero-norm guard: a zero vector can never pair (dot = 0 fails the
+    # dab > 0 predicate) so its priority is unobservable, but pin it
+    # to 0.0 anyway — 0/0 would differ across engines (NULL vs NaN)
+    pri = F.when(nx == 0, F.lit(0.0)).otherwise(
+        sign * s_best * s_best / nx
+    )
     v = vectors.select(
         F.col(vec_id).alias("_id"),
         vec_d.alias("_v"),
         nx.alias("_n2"),
         (F.array_position(scores, s_best) - 1).cast("long").alias("cluster"),
-        (sign * s_best * s_best / nx).alias("_pri"),
+        pri.alias("_pri"),
     )
     a = v.select(
         "cluster",

@@ -3468,10 +3468,12 @@ def q_text_stats(spark, sf_dir):
     shuffle, map-side partials) and scores every document through two
     BROADCAST joins — the corpus never shuffles. Gated as lm_bigrams +
     lm_c2_sum + lm_c1_sum (the summed model counts along each doc's
-    bigram walk — exact long arithmetic in both engines, and together
-    with n_bigrams they determine logppl closed-form): the twin
-    re-trains and re-joins the identical model in SQL, so a training,
-    join, or OOV-handling bug is a hash mismatch. The transcendental
+    bigram walk — exact long arithmetic in both engines; integer-exact
+    PROXIES, not a sufficient statistic for logppl, but they pin
+    training totals, the score join, and OOV handling per doc): the
+    twin re-trains and re-joins the identical model in SQL, so a
+    training, join, or OOV-handling bug is a hash mismatch; per-bigram
+    values are pytest-pinned (tests/test_lm.py). The transcendental
     logppl/ppl values themselves are pytest-gated (tests/test_lm.py) —
     an avg-of-ln's last ulp depends on summation order and the
     engine's libm build, which under a 6-dp round is a cross-engine
@@ -5366,8 +5368,9 @@ asg AS (
 ),
 v AS (
   SELECT a.vec_id, a.cluster,
-         (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END) * a.s * a.s / nx.n2
-           AS pri,
+         CASE WHEN nx.n2 = 0 THEN 0.0
+              ELSE (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END)
+                   * a.s * a.s / nx.n2 END AS pri,
          nx.n2
   FROM asg a JOIN nx USING (vec_id)
 ),
@@ -5473,8 +5476,9 @@ asg AS (
 ),
 v AS (
   SELECT a.doc_id, a.cluster,
-         (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END) * a.s * a.s / nx.n2
-           AS pri,
+         CASE WHEN nx.n2 = 0 THEN 0.0
+              ELSE (CASE WHEN a.s < 0 THEN -1.0 ELSE 1.0 END)
+                   * a.s * a.s / nx.n2 END AS pri,
          nx.n2
   FROM asg a JOIN nx USING (doc_id)
 ),
@@ -5697,8 +5701,7 @@ SELECT c.doc_id,
        md5(COALESCE(array_to_string(c.kept, chr(10)), '')) AS c4_md5,
        CAST(b.n_badwords AS BIGINT) AS n_badwords,
        CAST(b.n_tokens_bw AS BIGINT) AS n_tokens_bw,
-       CAST(CAST(b.n_badwords AS DOUBLE) > 0.1 * CAST(b.n_tokens_bw AS DOUBLE)
-            AS BIGINT) AS bw_flagged
+       CAST(b.n_badwords * 10 > b.n_tokens_bw * 1 AS BIGINT) AS bw_flagged
 FROM c4k c JOIN bw b USING (doc_id)
 """
 

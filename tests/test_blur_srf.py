@@ -45,6 +45,41 @@ class TestGaussianBlur:
         expect = gaussian_blur_numpy(arr, sigma)
         np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-8)
 
+    @pytest.mark.parametrize("sigma", [0.8, 1.5])
+    def test_constant_mode_matches_numpy(self, spark, sigma):
+        """mode='constant' (cval=0 — GeoTensor.resize's mode_pad
+        default) vs a zero-padded numpy reference."""
+        H, W = 96, 96
+        src = R.synth_raster(spark, 1, H, W, bands=1)
+        tiles = tile_blocked_from_long(src, H, W, tile=32)
+        out = gaussian_blur_tiles(
+            tiles, (H, W), sigma=sigma, tile=32, mode="constant"
+        )
+        rows = tile_blocked_to_long(out, tile=32).collect()
+        got = np.zeros((H, W))
+        for r in rows:
+            got[r["row"], r["col"]] = r["value"]
+
+        idx = np.arange(H * W, dtype=np.int64)
+        arr = ((idx * 2654435761) % 10000).reshape(H, W).astype(float)
+        radius = int(np.ceil(4.0 * sigma))
+        xs = np.arange(-radius, radius + 1, dtype=np.float64)
+        kern = np.exp(-0.5 * (xs / sigma) ** 2)
+        kern /= kern.sum()
+        padded = np.pad(arr, radius, mode="constant")
+        tmp = np.apply_along_axis(
+            lambda m: np.convolve(m, kern, mode="same"), 0, padded)
+        expect = np.apply_along_axis(
+            lambda m: np.convolve(m, kern, mode="same"), 1, tmp
+        )[radius:-radius, radius:-radius]
+        np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-8)
+
+    def test_unknown_mode_raises(self, spark):
+        src = R.synth_raster(spark, 1, 32, 32, bands=1)
+        tiles = tile_blocked_from_long(src, 32, 32, tile=32)
+        with pytest.raises(NotImplementedError):
+            gaussian_blur_tiles(tiles, (32, 32), sigma=1.0, mode="wrap")
+
     def test_preserves_constant_field(self, spark):
         H, W = 64, 64
         src = R.synth_raster(spark, 1, H, W, bands=1).withColumn("value", F.lit(7.0))

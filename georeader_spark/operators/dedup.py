@@ -698,3 +698,44 @@ def paragraph_dedup_keep_first(
         F.col(text_col).alias("clean_text"),
     )
     return untouched.unionByName(changed).withColumnRenamed("_id", id_col)
+
+
+def corpus_digests(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Digest table of a corpus: ``(text_md5, canonical_id)`` — one row
+    per distinct text. This is the table an incremental ingestion
+    pipeline persists (bucketed by text_md5, plans/bucketing) so every
+    later crawl deduplicates against it without reshuffling it."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+
+
+def dedup_against_reference(
+    new_docs: DataFrame,
+    ref_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: drop every new document whose
+    md5(text) already exists in the reference corpus digest table
+    (``corpus_digests`` output) — the new-crawl-vs-corpus stage of a
+    continuously-updated training set.
+
+    100 TB shape: the digest is computed scan-side, the anti-join
+    moves (16-byte hash) keys — never bodies; with the digest table
+    bucketed by text_md5 at write time the recurring join co-locates
+    (plans/bucketing.write_bucketed, zero exchange on the ref side).
+    """
+    hashed = new_docs.withColumn("_h", F.md5(F.col(text_col)))
+    return (
+        hashed.join(
+            ref_digests.select(F.col("text_md5").alias("_h")),
+            "_h",
+            "left_anti",
+        )
+        .drop("_h")
+    )

@@ -1233,3 +1233,29 @@ class TestCorpusStats:
             q1, med, q3 = s["v_quartiles_approx"]
             assert e["v_min"] <= q1 <= med <= q3 <= e["v_max"]
             assert abs(med - e["v_med"]) <= 0.1 * max(e["v_med"], 1)
+
+
+class TestIncrementalDedup:
+    def test_new_crawl_vs_reference_corpus(self, spark, sf_dir):
+        from georeader_spark.operators.dedup import (
+            corpus_digests,
+            dedup_against_reference,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ref = docs.where(F.col("doc_id") < 300)
+        digests = corpus_digests(ref)
+        # new crawl: 100 genuinely-new docs + 50 re-crawled copies of
+        # reference texts under new ids
+        fresh = docs.where(
+            (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+        )
+        recrawl = docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+        new = fresh.unionByName(recrawl)
+        kept = dedup_against_reference(new, digests)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert ids == {r["doc_id"] for r in fresh.collect()}  # copies gone
+        assert kept.columns == new.columns  # schema passthrough

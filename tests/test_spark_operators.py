@@ -1259,3 +1259,113 @@ class TestIncrementalDedup:
         ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
         assert ids == {r["doc_id"] for r in fresh.collect()}  # copies gone
         assert kept.columns == new.columns  # schema passthrough
+
+
+class TestCleaningFuzz:
+    """Cross-engine regex-subset fuzz: redact_pii_cols (Spark/Java
+    regex) vs a Python `re` reference applying the SAME patterns in
+    the same order over adversarial random text. Java and Python re
+    are both leftmost-greedy backtrackers, so agreement here pins the
+    pattern semantics the DuckDB/RE2 twin also relies on."""
+
+    def test_redaction_matches_python_re(self, spark):
+        import re
+
+        from georeader_spark.operators.cleaning import (
+            EMAIL_RE,
+            IPV4_RE,
+            PHONE_RE,
+            redact_pii_cols,
+        )
+
+        rng = np.random.default_rng(17)
+        atoms = [
+            "word", "x.y", "a@b", "x@y.zz", "user..n@ex.com", "@@",
+            "no-reply+tag@sub.domain.org", "1.2.3.4", "1.2.3",
+            "999.999.999.999", "10.0.0.256", "1.2.3.4.5", ".1.2.3.4",
+            "+1234567", "+123456", "a+12345678", "+123456789012345",
+            "+1234567890123456", "(+4915112345678)", "v1.2.3-rc4",
+            "e@e.co.", "E@E.CO", "..", "+", "@", "127.0.0.1:8080",
+        ]
+        seps = [" ", "  ", "\n", ".", ", ", "."]
+        rows = []
+        for i in range(250):
+            n = rng.integers(1, 12)
+            parts = rng.choice(atoms, size=n)
+            sep = seps[int(rng.integers(0, len(seps)))]
+            rows.append((i, sep.join(parts)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["pii_clean"], r["n_emails"], r["n_ips"],
+                          r["n_phones"])
+            for r in df.withColumns(redact_pii_cols(F.col("text"))).collect()
+        }
+        for i, t in rows:
+            ne = len(re.findall(EMAIL_RE, t))
+            s1 = re.sub(EMAIL_RE, "<EMAIL>", t)
+            ni = len(re.findall(IPV4_RE, s1))
+            s2 = re.sub(IPV4_RE, "<IP>", s1)
+            np_ = len(re.findall(PHONE_RE, s2))
+            s3 = re.sub(PHONE_RE, "<PHONE>", s2)
+            assert got[i] == (s3, ne, ni, np_), (i, t, got[i], s3)
+        # non-vacuous: every sentinel kind fired somewhere
+        assert sum(g[1] for g in got.values()) > 0
+        assert sum(g[2] for g in got.values()) > 0
+        assert sum(g[3] for g in got.values()) > 0
+
+    def test_redaction_matches_duckdb_re2(self, spark):
+        """The same adversarial corpus through DuckDB (RE2) — the
+        engine the text_cleaning oracle actually runs on. RE2 is a
+        different matcher family (automaton, not backtracker), so this
+        is the real Java∩RE2 subset check."""
+        import duckdb
+
+        from georeader_spark.operators.cleaning import (
+            EMAIL_RE,
+            IPV4_RE,
+            PHONE_RE,
+            redact_pii_cols,
+        )
+
+        rng = np.random.default_rng(17)
+        atoms = [
+            "word", "x.y", "a@b", "x@y.zz", "user..n@ex.com", "@@",
+            "no-reply+tag@sub.domain.org", "1.2.3.4", "1.2.3",
+            "999.999.999.999", "10.0.0.256", "1.2.3.4.5", ".1.2.3.4",
+            "+1234567", "+123456", "a+12345678", "+123456789012345",
+            "+1234567890123456", "(+4915112345678)", "v1.2.3-rc4",
+            "e@e.co.", "E@E.CO", "..", "+", "@", "127.0.0.1:8080",
+        ]
+        seps = [" ", "  ", "\n", ".", ", ", "."]
+        rows = []
+        for i in range(250):
+            n = rng.integers(1, 12)
+            parts = rng.choice(atoms, size=n)
+            sep = seps[int(rng.integers(0, len(seps)))]
+            rows.append((i, sep.join(parts)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["pii_clean"], r["n_emails"], r["n_ips"],
+                          r["n_phones"])
+            for r in df.withColumns(redact_pii_cols(F.col("text"))).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, txt VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        q = f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(txt, '{EMAIL_RE}')) AS ne,
+                 regexp_replace(txt, '{EMAIL_RE}', '<EMAIL>', 'g') AS a
+          FROM t),
+        s2 AS (
+          SELECT doc_id, ne,
+                 len(regexp_extract_all(a, '{IPV4_RE}')) AS ni,
+                 regexp_replace(a, '{IPV4_RE}', '<IP>', 'g') AS b
+          FROM s1)
+        SELECT doc_id, b2.c, s2.ne, s2.ni, b2.np FROM s2,
+        LATERAL (SELECT len(regexp_extract_all(s2.b, '{PHONE_RE}')) AS np,
+                 regexp_replace(s2.b, '{PHONE_RE}', '<PHONE>', 'g') AS c) b2
+        """
+        for doc_id, c, ne, ni, np_ in con.execute(q).fetchall():
+            assert got[doc_id] == (c, ne, ni, np_), (doc_id, got[doc_id], c)

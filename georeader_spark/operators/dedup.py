@@ -628,12 +628,15 @@ def paragraph_dedup_keep_first(
     single-line synthetic fixture) and rebuilds with single spaces.
 
     100 TB shape: paragraphs are hashed to 16-byte md5 BEFORE the
-    winner-election shuffle, so the wide exchange carries
-    (hash, id, seg) — never text. The drop-list (duplicate
-    occurrences) is small by construction and broadcast back; the
-    expensive text regroup (collect_list + array_join) runs ONLY for
-    affected documents — the clean majority passes through untouched
-    with zero text shuffle.
+    winner-election shuffle, so the corpus-wide exchange carries
+    (hash, id, seg) — never text (plan-pinned,
+    tests/test_plans_and_streaming.py). The text regroup
+    (collect_list + array_join) is restricted to AFFECTED documents by
+    the semi join on the drop list; at typical dup rates that list is
+    small and AQE broadcasts it (production default), so the clean
+    majority's text never enters an exchange — at pathological dup
+    rates AQE falls back to a (id, seg)-keyed shuffle join, which is
+    then the right plan anyway.
     """
     import re as _re
 

@@ -596,3 +596,67 @@ class TestSaltedJoinHotKeys:
             facts, dim, "cell", hot_threshold=2000, id_col="fact_id"
         ).drop("salt").collect()))
         assert got == exact
+
+
+class TestRound5PlanShapes:
+    """Plan pins for the round-5 operators' docstring scale claims."""
+
+    def test_paragraph_dedup_winner_exchange_carries_no_text(self, spark):
+        """The winner-election shuffle moves (id, seg, 16-byte md5) —
+        never paragraph text (dedup.paragraph_dedup_keep_first)."""
+        from georeader_spark.operators.dedup import paragraph_dedup_keep_first
+
+        docs = spark.createDataFrame(
+            [(1, "a b\n\nc d"), (2, "c d\n\ne f")],
+            "doc_id long, text string",
+        )
+        out = paragraph_dedup_keep_first(docs)
+        formatted = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # every Exchange partitioned on the _ph winner key (the one
+        # provably-global shuffle) must not carry _para in its input
+        ex_sections = [
+            s for s in formatted.split("\n\n")
+            if "Exchange" in s and "hashpartitioning(_ph" in s
+        ]
+        assert ex_sections, "winner-election exchange not found"
+        for s in ex_sections:
+            assert "_para" not in s, s
+
+    def test_hash_embed_partial_aggregates_before_exchange(self, spark, sf_dir):
+        """The (doc, bucket) count reduces map-side: after the partial
+        aggregate at most nnz<=dim rows per doc reach the exchange."""
+        from georeader_spark.operators.embed import hash_embed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = _plan(hash_embed(docs, dim=16))
+        first_ex = plan.find("Exchange hashpartitioning")
+        assert first_ex > 0
+        head = plan[first_ex:]
+        # below the first exchange (printed after it) sits the partial
+        # HashAggregate over (doc_id, bucket)
+        assert "partial_sum" in head or "partial" in head
+
+    def test_redact_pii_is_scan_side(self, spark, sf_dir):
+        """PII redaction is pure column exprs: zero exchanges."""
+        from georeader_spark.operators.cleaning import redact_pii_cols
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = _plan(docs.withColumns(redact_pii_cols(F.col("text"))))
+        assert "Exchange" not in plan
+
+    def test_semantic_dedup_pairs_blocked_by_cluster(self, spark):
+        """The pair join is an equi-join on cluster — never a cartesian
+        (similarity.semantic_dedup)."""
+        from georeader_spark.operators.similarity import semantic_dedup
+
+        vecs = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+             for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [[1, 0, -1, 2, 0, 1, -2, 0], [0, 2, 1, -1, 1, 0, 0, -2]]
+        plan = _plan(semantic_dedup(vecs, cents))
+        assert "CartesianProduct" not in plan
+        assert "cluster" in plan

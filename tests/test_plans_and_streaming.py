@@ -660,3 +660,133 @@ class TestRound5PlanShapes:
         plan = _plan(semantic_dedup(vecs, cents))
         assert "CartesianProduct" not in plan
         assert "cluster" in plan
+
+
+class TestStreamingLshDedup:
+    """Streaming MinHash-LSH near-dup filter (streaming/lsh_dedup.py)
+    vs a batch reference applying the identical bucket/first rule."""
+
+    @staticmethod
+    def _corpus(spark):
+        # 120 docs over a 40-word vocab: ids >= 1000 are exact copies
+        # of id-1000 (J=1, must always flag); 60..119 share long
+        # prefixes (near-dups, flagged when any band collides)
+        base = spark.range(0, 120).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("tok"),
+                ((F.col("id") % 60) % 7).cast("string"),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(25)),
+                        lambda i: F.concat(
+                            F.lit("w"),
+                            ((F.col("id") % 60) * 3 + i * 7).cast("string")
+                            if False
+                            else F.pmod((F.col("id") % 60) * 3 + i * 7, F.lit(40)).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+        copies = base.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        return base.unionByName(copies)
+
+    def test_single_drain_matches_batch_rule(self, spark, tmp_path):
+        from georeader_spark.operators.dedup import _minhash_banded
+        from georeader_spark.streaming.cell_counts import run_available_now
+        from georeader_spark.streaming.lsh_dedup import (
+            lsh_verdicts_per_doc,
+            streaming_lsh_verdicts,
+        )
+
+        src_dir = str(tmp_path / "docs")
+        self._corpus(spark).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = streaming_lsh_verdicts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        out_dir = str(tmp_path / "out")
+        run_available_now(stream, out_dir, str(tmp_path / "ckpt"))
+        got = {
+            r["doc_id"]: (r["is_dup"], r["dup_of"])
+            for r in lsh_verdicts_per_doc(
+                spark.read.parquet(out_dir)
+            ).collect()
+        }
+
+        # batch reference: same banding, bucket winner = min doc_id
+        bb = _minhash_banded(
+            spark.read.parquet(src_dir), "doc_id", "text", 16, 4, 3
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        ref = (
+            bb.withColumn("first_id", F.min("doc_id").over(w))
+            .groupBy("doc_id")
+            .agg(
+                F.max((F.col("first_id") != F.col("doc_id")).cast("int"))
+                .cast("boolean")
+                .alias("is_dup"),
+                F.min(
+                    F.when(
+                        F.col("first_id") != F.col("doc_id"),
+                        F.col("first_id"),
+                    )
+                ).alias("dup_of"),
+            )
+        )
+        expect = {
+            r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in ref.collect()
+        }
+        assert got == expect
+        # exact copies (J=1) always flag; the claimant is an original
+        # (possibly an even-earlier near-dup of the copy's source)
+        for i in range(20):
+            is_dup, dup_of = got[1000 + i]
+            assert is_dup and dup_of is not None and dup_of < 120
+        assert len(got) == 140
+
+    def test_cross_batch_state_flags_late_near_dups(self, spark, tmp_path):
+        """Buckets claimed in drain 1 persist: re-sent bodies in drain
+        2 flag as dups of the ORIGINAL claimant, not of each other."""
+        from georeader_spark.streaming.cell_counts import run_available_now
+        from georeader_spark.streaming.lsh_dedup import (
+            lsh_verdicts_per_doc,
+            streaming_lsh_verdicts,
+        )
+
+        src_dir = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        base = self._corpus(spark).where(F.col("doc_id") < 120)
+        base.write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def drain():
+            stream = streaming_lsh_verdicts(
+                spark.readStream.schema(schema).parquet(src_dir)
+            )
+            run_available_now(stream, out_dir, ckpt)
+
+        drain()
+        # late arrivals: exact copies of docs 0..19 under ids 5000+
+        base.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        ).write.mode("append").parquet(src_dir)
+        drain()
+        got = {
+            r["doc_id"]: (r["is_dup"], r["dup_of"])
+            for r in lsh_verdicts_per_doc(
+                spark.read.parquet(out_dir)
+            ).collect()
+        }
+        for i in range(20):
+            is_dup, dup_of = got[5000 + i]
+            assert is_dup and dup_of is not None and dup_of < 120

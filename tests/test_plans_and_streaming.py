@@ -682,9 +682,9 @@ class TestStreamingLshDedup:
                         F.sequence(F.lit(0), F.lit(25)),
                         lambda i: F.concat(
                             F.lit("w"),
-                            ((F.col("id") % 60) * 3 + i * 7).cast("string")
-                            if False
-                            else F.pmod((F.col("id") % 60) * 3 + i * 7, F.lit(40)).cast("string"),
+                            F.pmod(
+                                (F.col("id") % 60) * 3 + i * 7, F.lit(40)
+                            ).cast("string"),
                         ),
                     ),
                     " ",

@@ -249,10 +249,20 @@ def lloyd_train_multi(
     n_clusters) + one groupBy mean over (grp, cluster, pos). Nothing
     reaches the driver except the n_groups * n_clusters * dim centroid
     table itself.
+
+    The input is materialized ONCE (eager localCheckpoint) before the
+    seed job: the trainer runs 1 + iters sequential actions over the
+    same rows, and without the cut every action re-evaluates the whole
+    upstream plan (parquet scan, normalization, and for IVF-PQ the
+    Arrow residual encoder). Iterative trainers caching their input is
+    the standard Spark ML shape; the checkpoint preserves the computed
+    partition layout, so per-partition partial-aggregation order (and
+    with it every centroid bit) is unchanged.
     """
-    hashed = sliced.select(
+    sliced = sliced.select(
         "grp", F.col("vec").cast("array<double>").alias("vec")
-    ).withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
+    ).localCheckpoint(eager=True)
+    hashed = sliced.withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
     if n_groups == 1:
         # single group: the IVF caller passes grp = lit(0), which
         # Catalyst constant-folds OUT of a window's partition spec —
@@ -284,18 +294,22 @@ def lloyd_train_multi(
         assigned = sliced.withColumn(
             "list_id", nearest_centroid_arrow(cents, F.col("vec"), grp_col=F.col("grp"))
         )
+        # one shuffle per round: the (grp, list, pos) means are only
+        # n_groups * n_clusters * dim rows — assemble them driver-side
+        # instead of paying a second groupBy stage per iteration
         new = (
             assigned.select(
                 "grp", "list_id", F.posexplode(F.col("vec")).alias("pos", "comp")
             )
             .groupBy("grp", "list_id", "pos")
             .agg(F.avg(F.col("comp").cast("double")).alias("mean"))
-            .groupBy("grp", "list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("m"))
             .collect()
         )
+        by_key: dict = {}
+        for r in new:
+            by_key.setdefault((r["grp"], r["list_id"]), {})[r["pos"]] = r["mean"]
         by_key = {
-            (r["grp"], r["list_id"]): [mm["mean"] for mm in r["m"]] for r in new
+            k: [v[p] for p in sorted(v)] for k, v in by_key.items()
         }
         cents = [
             [by_key.get((g, i), cents[g][i]) for i in range(n_clusters)]
@@ -459,7 +473,9 @@ def ann_topk_ivf(
     probes = queries.withColumn(
         "_p", F.explode(nearest_centroid_arrow(cents, F.col(q_vec), n_probe))
     ).select(q_id, q_vec, F.col("_p").alias("list_id"))
-    cand = probes.join(corpus, "list_id").where(F.col(vec_id) != F.col(q_id))
+    cand = F.broadcast(probes).join(corpus, "list_id").where(
+        F.col(vec_id) != F.col(q_id)
+    )
     scored = cand.select(
         q_id, vec_id,
         cosine_similarity_col(F.col(q_vec), F.col(vec_col)).alias("cos_sim"),
@@ -505,14 +521,20 @@ def pq_train_codebooks(
     iters: int = 2,
     vec_col: str = "embedding",
     normalize: bool = True,
+    dim: int | None = None,
 ) -> list:
     """Per-subspace codebooks via ONE multi-group Lloyd loop: every
     subspace slice becomes a (grp=subspace, vec) row and
     :func:`lloyd_train_multi` trains all m codebooks in 1 seed job +
     1 job per iteration (the round-3 per-subspace loop ran m * (1 + 2 *
     iters) sequential tiny jobs and dominated wall clock). Only
-    m * n_codes * (dim/m) floats ever reach the driver."""
-    dim = len(vectors.select(vec_col).first()[0])
+    m * n_codes * (dim/m) floats ever reach the driver.
+
+    Pass ``dim`` when the caller already knows it: the fallback is a
+    ``first()`` probe, i.e. one extra Spark job through the whole
+    upstream plan just to read a vector's length."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
     sub = dim // m_subspaces
@@ -655,8 +677,11 @@ def ann_topk_pq(
     cand = adc_rank(codes, lut_df, m, R, q_id=q_id, vec_id=vec_id).select(
         q_id, vec_id
     )
+    # cand is <= R * |Q| rows but sits behind two windows, so the size
+    # estimator cannot see that — hint it broadcast explicitly (guide
+    # §3.1): the float-vector table is then never shuffled by the join.
     refined = (
-        cand.join(vectors.select(vec_id, vec_col), vec_id)
+        F.broadcast(cand).join(vectors.select(vec_id, vec_col), vec_id)
         .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
         .withColumn(
             "sim",
@@ -702,17 +727,20 @@ def ivfpq_build(
     )
     cents = ivf_train_centroids(norm, n_lists=n_lists, iters=iters, vec_col="_v")
     # fused Arrow assign + residual: no O(n_lists * dim) centroid
-    # literals in the plan (survives 64k-list indexes)
+    # literals in the plan (survives 64k-list indexes). Materialized
+    # once (eager localCheckpoint): residuals feed the codebook
+    # trainer, the encoder AND the search action — without the cut
+    # each of those re-runs the scan + normalize + Arrow assignment.
     resid = norm.withColumn(
         "_ar", ivf_assign_residual_arrow(cents, F.col("_v"))
     ).select(
         vec_id, F.col("_ar")["list_id"].alias("list_id"),
         F.col("_ar")["resid"].alias("_r"),
-    )
+    ).localCheckpoint(eager=True)
     books = pq_train_codebooks(
         resid.select(F.col("_r").alias("embedding")),
         m_subspaces=m_subspaces, n_codes=n_codes, iters=iters,
-        normalize=False,
+        normalize=False, dim=len(cents[0]),
     )
     codes = pq_encode(
         resid.select(vec_id, "list_id", F.col("_r").alias("embedding")),
@@ -791,8 +819,10 @@ def ann_topk_ivfpq(
         .where(F.col("_rank") <= R)
         .select(q_id, vec_id)
     )
+    # <= refine_factor * k * |Q| rows behind two windows: broadcast the
+    # candidate list so the refine never shuffles the float vectors.
     return (
-        cand.join(vectors.select(vec_id, vec_col), vec_id)
+        F.broadcast(cand).join(vectors.select(vec_id, vec_col), vec_id)
         .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
         .withColumn(
             "sim",

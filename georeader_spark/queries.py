@@ -265,20 +265,31 @@ def _planar_d2_sql(lon: str, lat: str, q_lon: float, q_lat: float) -> str:
 
 def q_knn_bruteforce(spark, sf_dir):
     """Exact kNN (k=5) of 20 fixed query points over the events points:
-    broadcast cross join + rank (the SQL-oracle-able baseline)."""
-    pts = _points(spark, sf_dir)
-    qrows = [(q, lon, lat) for q, lon, lat in KNN_QUERIES]
-    qdf = spark.createDataFrame(qrows, "q_id int, q_lon double, q_lat double")
+    broadcast cross join + rank (the SQL-oracle-able baseline).
+
+    The query's (lon, lat, cos(lat)) travel as columns of the broadcast
+    side, so d2 is ONE expression — the same IEEE ops on the same
+    doubles as the former per-query literal CASE chain (bit-identical),
+    with an O(1) plan instead of O(|Q|). The points side is
+    repartitioned before the |Q|x expansion: the single-file bench scan
+    otherwise runs the whole pair generation + shuffle write on one
+    core (guide §2.5 input skew), and only the needed columns enter
+    the exchange (guide §2.3)."""
+    pts = _points(spark, sf_dir).select("event_id", "lon", "lat").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qdf = spark.createDataFrame(
+        [
+            (q, lon, lat, math.cos(math.radians(lat)))
+            for q, lon, lat in KNN_QUERIES
+        ],
+        "q_id int, q_lon double, q_lat double, q_cos double",
+    )
     pairs = pts.withColumn("_pid", F.spark_partition_id()).crossJoin(
         F.broadcast(qdf)
     )
-    # per-query cos literal via a CASE chain keeps arithmetic identical
-    expr = None
-    for q, qlon, qlat in KNN_QUERIES:
-        this = _planar_d2(F.col("lon"), F.col("lat"), qlon, qlat)
-        expr = F.when(F.col("q_id") == q, this) if expr is None else expr.when(
-            F.col("q_id") == q, this
-        )
+    dlat = F.col("lat") - F.col("q_lat")
+    dlon = (F.col("lon") - F.col("q_lon")) * F.col("q_cos")
     # two-phase rank: top-k per (query, input partition) spreads the
     # shuffle over |Q| * P groups; the global rank then sees <= k * P
     # rows per query instead of the whole corpus (round-1 funnel fix)
@@ -287,7 +298,10 @@ def q_knn_bruteforce(spark, sf_dir):
     )
     w_glob = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
     return (
-        pairs.withColumn("d2", expr)
+        pairs.select(
+            "q_id", "_pid", "event_id",
+            (dlat * dlat + dlon * dlon).alias("d2"),
+        )
         .withColumn("_prank", F.row_number().over(w_part))
         .where(F.col("_prank") <= KNN_K)
         .withColumn("rank", F.row_number().over(w_glob))
@@ -336,77 +350,72 @@ def q_knn_ring(spark, sf_dir):
     straggler queries expand. The result is assembled from collected
     rows, so the returned DataFrame costs nothing extra.
 
-    Driver-round bound: the histogram hint sizes the initial radius so
-    dense fixtures verify in ONE candidates job; the expansion loop is
-    capped at 6 radius-doublings (a 64x initial-radius disk), after
-    which any still-unverified query falls back to the exact
-    brute-force path — total jobs are bounded at 1 histogram +
-    6 candidate rounds + 1 fallback regardless of data distribution,
-    and exactness never depends on the cap.
+    Driver-round bound: every query starts at the max ring radius (the
+    largest the former histogram hint could pick), so dense fixtures
+    verify in ONE candidates job with no histogram pass; the expansion
+    loop is capped at 6 radius-doublings (a 64x initial-radius disk),
+    after which any still-unverified query falls back to the exact
+    brute-force path — total jobs are bounded at 6 candidate rounds +
+    1 fallback regardless of data distribution, and exactness never
+    depends on the cap.
 
-    CONTRACT: this driver-orchestrated loop (and its O(|Q|)
-    when-chain) is for SMALL query sets (|Q|=20 here). For large Q —
+    CONTRACT: this driver-orchestrated loop is for SMALL query sets
+    (|Q|=20 here). For large Q —
     a table of queries rather than a literal list — the scalable
     all-DataFrame path is ``operators.knn.knn_join`` (cell-bucketed
     equi-join, no driver rounds); do not copy this loop for that case.
     """
     pts = _points(spark, sf_dir)
-    r = 6
+    # r=8 (0.70 deg cells): the former r=6 cells were 2.8 deg — at
+    # bench density a radius-4 disk covered most of the Europe bbox, so
+    # the "pruned" candidate set was ~17x the corpus and the ring path
+    # cost more than brute force. Finer cells make the cell join a real
+    # filter; the verify bound below is resolution-generic.
+    r = 8
     pts_c = pts.withColumn(
         "cell", G.cell_encode(F.col("lon"), F.col("lat"), r)
-    ).persist()
+    )
     _, cell_h = kcells.cell_size_deg(r)
 
-    # One cheap histogram job (which also materializes the cache):
-    # per-cell counts restricted to the max-radius disk of any query
-    # cell. The per-query initial radius is then the smallest disk
-    # holding >= 4*K points — the dense fixture resolves in ONE
-    # candidates job; the verified-bound loop below remains the
-    # exactness guarantee (histogram sizing is only a planner hint).
-    HIST_R = 8
-    hist_cells = sorted(
-        {c for _, qlon, qlat in KNN_QUERIES
-         for c in kcells.ring(kcells.encode(qlon, qlat, r), HIST_R)}
-    )
-    hist_df = spark.createDataFrame([(c,) for c in hist_cells], "cell long")
-    hist = dict(
-        pts_c.join(F.broadcast(hist_df), "cell")
-        .groupBy("cell").count().collect()
-    )
-
-    def _radius_hint(qlon: float, qlat: float) -> int:
-        # smallest disk m holding >= K points; a top-K point then lies
-        # within (m+1)*cell_diag, and the verify bound at query radius
-        # k is k*cell_h*cmin — so k = 2*(m+1) makes round 1 verify.
-        qcell = kcells.encode(qlon, qlat, r)
-        for rad in range(1, HIST_R + 1):
-            got = sum(hist.get(c, 0) for c in kcells.ring(qcell, rad))
-            if got >= KNN_K:
-                return min(HIST_R, 2 * (rad + 1))
-        return HIST_R
+    # Initial radius from measured density instead of the old per-cell
+    # histogram job: one metadata-cheap count gives the expected K-th
+    # neighbor distance r_K = sqrt(K / (pi * rho)) over the fixture's
+    # 40x25 deg bbox; a 4x safety factor against the worst-case
+    # cos(lat) (~0.4 at the bbox's north edge) makes the dense fixtures
+    # verify in ONE candidates job. The hint only sizes the first
+    # probe — the verified-bound loop below remains the exactness
+    # guarantee, and sparse/skewed data expands exactly as before.
+    n_pts = max(pts.count(), 1)
+    rho = n_pts / 1000.0
+    r_k = math.sqrt(KNN_K / (math.pi * rho))
+    k_init = min(max(int(math.ceil(4.0 * r_k / (cell_h * 0.4))), 1), 24)
 
     done_rows = []
     pending = list(KNN_QUERIES)
-    radius = {q: _radius_hint(qlon, qlat) for q, qlon, qlat in KNN_QUERIES}
+    radius = {q: k_init for q, _, _ in KNN_QUERIES}
     for _round in range(6):
         if not pending:
             break
         rows = []
         for q, qlon, qlat in pending:
             qcell = kcells.encode(qlon, qlat, r)
+            qcos = math.cos(math.radians(qlat))
             for c in kcells.ring(qcell, radius[q]):
-                rows.append((q, c))
-        ring_df = spark.createDataFrame(rows, "q_id int, cell long")
+                rows.append((q, c, qlon, qlat, qcos))
+        ring_df = spark.createDataFrame(
+            rows, "q_id int, cell long, q_lon double, q_lat double, q_cos double"
+        )
         cand = pts_c.join(F.broadcast(ring_df), "cell")
-        expr = None
-        for q, qlon, qlat in KNN_QUERIES:
-            this = _planar_d2(F.col("lon"), F.col("lat"), qlon, qlat)
-            expr = F.when(F.col("q_id") == q, this) if expr is None else expr.when(
-                F.col("q_id") == q, this
-            )
+        # d2 from broadcast-side columns: the same IEEE ops on the same
+        # doubles as the former per-query literal CASE chain
+        dlat = F.col("lat") - F.col("q_lat")
+        dlon = (F.col("lon") - F.col("q_lon")) * F.col("q_cos")
         w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
         ranked = (
-            cand.withColumn("d2", expr)
+            cand.select(
+                "q_id", "event_id",
+                (dlat * dlat + dlon * dlon).alias("d2"),
+            )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= KNN_K)
             .select("q_id", F.col("event_id").alias("point_id"), "rank", "d2")
@@ -434,7 +443,6 @@ def q_knn_ring(spark, sf_dir):
         for q, _, _ in pending:
             radius[q] *= 2
 
-    pts_c.unpersist()
     results = spark.createDataFrame(
         done_rows, "q_id int, point_id long, rank int"
     ) if done_rows else None

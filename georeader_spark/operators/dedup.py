@@ -432,32 +432,30 @@ def _dup_islands(
         )
         .select(id_col, "n_grams", "pos", key.alias("g"))
     )
-    # corpus-wide gram multiplicity (map-side partial agg, 8-byte keys)
+    # corpus-wide gram multiplicity (map-side partial agg, 8-byte
+    # keys). The min-(id, pos) struct is aggregated under BOTH
+    # policies so the counts subtree is canonically identical across
+    # them: a query running stats, removal and keep-first removal over
+    # the same corpus (q_text_stats) then computes the gram explode +
+    # count shuffle ONCE (ReusedExchange) instead of per policy — the
+    # default policy simply never reads ``_first``.
+    counts = grams.groupBy("g").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+        .alias("_first"),
+    )
+    dup = grams.join(counts.where(F.col("n_occ") > 1), "g")
     if keep_first:
-        counts = grams.groupBy("g").agg(
-            F.count("*").alias("n_occ"),
-            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
-            .alias("_first"),
-        )
-        dup = (
-            grams.join(counts.where(F.col("n_occ") > 1), "g")
-            .where(
-                ~(
-                    (F.col(id_col) == F.col("_first.i"))
-                    & (F.col("pos") == F.col("_first.p"))
-                )
-            )
-            .select(
-                id_col, "n_grams", "pos",
-                (F.col("pos") + F.lit(length - 1)).alias("end"),
+        dup = dup.where(
+            ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("pos") == F.col("_first.p"))
             )
         )
-    else:
-        counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
-        dup = grams.join(counts.where(F.col("n_occ") > 1), "g").select(
-            id_col, "n_grams", "pos",
-            (F.col("pos") + F.lit(length - 1)).alias("end"),
-        )
+    dup = dup.select(
+        id_col, "n_grams", "pos",
+        (F.col("pos") + F.lit(length - 1)).alias("end"),
+    )
     # gaps-and-islands merge of overlapping [pos, end] intervals
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max("end").over(
@@ -630,13 +628,15 @@ def paragraph_dedup_keep_first(
     100 TB shape: paragraphs are hashed to 16-byte md5 BEFORE the
     winner-election shuffle, so the corpus-wide exchange carries
     (hash, id, seg) — never text (plan-pinned,
-    tests/test_plans_and_streaming.py). The text regroup
-    (collect_list + array_join) is restricted to AFFECTED documents by
-    the semi join on the drop list; at typical dup rates that list is
-    small and AQE broadcasts it (production default), so the clean
-    majority's text never enters an exchange — at pathological dup
-    rates AQE falls back to a (id, seg)-keyed shuffle join, which is
-    then the right plan anyway.
+    tests/test_plans_and_streaming.py). The rebuild is ONE join of the
+    corpus against a per-affected-doc array of dropped positions plus
+    an array filter over the in-row paragraph split — no re-explode of
+    the corpus, no semi/anti join pair, no union of changed and
+    untouched branches (the former shape paid three extra exchanges
+    and re-evaluated the interpreted paragraph-split HOFs per branch).
+    At typical dup rates the dropped-positions table is tiny and
+    broadcasts; at pathological rates it is (id)-keyed and joins
+    shuffle-wise, which is then the right plan anyway.
     """
     import re as _re
 
@@ -665,42 +665,34 @@ def paragraph_dedup_keep_first(
         .where(F.col("_rn") > 1)
         .select("_id", "_seg")
     )
-    dcnt = drops.groupBy("_id").agg(F.count("*").alias("pd_dropped"))
-
-    # rebuild ONLY affected documents (kept paragraphs, original order)
-    kept = (
-        segs.join(dcnt, "_id", "left_semi")
-        .join(drops, ["_id", "_seg"], "left_anti")
+    dropped = drops.groupBy("_id").agg(
+        F.collect_list("_seg").alias("_drop_segs")
     )
-    rebuilt = kept.groupBy("_id").agg(
-        F.count("*").alias("_n_kept"),
+
+    # rebuild with one left join + an index filter over the in-row
+    # paragraph array: kept paragraphs stay in original order, a doc
+    # whose EVERY paragraph was dropped filters to '' — identical
+    # output to the former explode/semi/anti/union shape.
+    out = docs.join(dropped, docs[id_col] == dropped["_id"], "left")
+    untouched = F.col("_drop_segs").isNull()
+    clean = F.when(untouched, F.col(text_col)).otherwise(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_seg", "_para"))),
-                lambda x: x["_para"],
+            F.filter(
+                paras_col,
+                lambda p, i: ~F.array_contains(F.col("_drop_segs"), i),
             ),
             join_sep,
-        ).alias("clean_text"),
+        )
     )
-    # a doc whose EVERY paragraph was dropped has no kept rows: left
-    # join and coalesce to the empty document
-    changed = dcnt.join(rebuilt, "_id", "left").select(
-        "_id",
-        (F.coalesce(F.col("_n_kept"), F.lit(0)) + F.col("pd_dropped"))
-        .cast("int")
-        .alias("n_paras"),
-        F.col("pd_dropped").cast("int").alias("pd_dropped"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
-    untouched = docs.join(
-        dcnt, docs[id_col] == dcnt["_id"], "left_anti"
-    ).select(
-        F.col(id_col).alias("_id"),
+    return out.select(
+        F.col(id_col),
         F.size(paras_col).cast("int").alias("n_paras"),
-        F.lit(0).cast("int").alias("pd_dropped"),
-        F.col(text_col).alias("clean_text"),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size("_drop_segs"))
+        .cast("int")
+        .alias("pd_dropped"),
+        clean.alias("clean_text"),
     )
-    return untouched.unionByName(changed).withColumnRenamed("_id", id_col)
 
 
 def corpus_digests(

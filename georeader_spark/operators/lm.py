@@ -57,10 +57,15 @@ def train_bigram_lm(
     toks = docs.select(_tokens(F.col(text_col)).alias("_toks"))
     grams = toks.select(F.explode(_bigrams(F.col("_toks"))).alias("gram"))
     c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
+    # c1(ctx) = sum of c2 over grams starting with ctx — exact long
+    # arithmetic, identical to re-counting the exploded corpus, but
+    # aggregating the vocabulary-sized c2 table instead of a second
+    # full corpus explode (the shared c2 exchange is then reused
+    # between the two model broadcasts at scoring time)
     c1 = (
-        grams.select(F.split(F.col("gram"), " ")[0].alias("ctx"))
+        c2.select(F.split(F.col("gram"), " ")[0].alias("ctx"), "c2")
         .groupBy("ctx")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     v = (
         toks.select(F.explode("_toks").alias("t"))

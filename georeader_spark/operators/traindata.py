@@ -266,6 +266,7 @@ def sample_by_domain(
     id_col: str,
     alpha: float = 0.5,
     broadcast_rates: bool = True,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-style domain rebalancing (the multilingual /
     multi-source training-mix resample): per-domain keep rate
@@ -285,10 +286,19 @@ def sample_by_domain(
     cardinality (rates table too big to broadcast) pass
     ``broadcast_rates=False`` for a plain shuffle join on the domain
     key.
+
+    ``counts_df``: optional ROW-PARITY source for the per-domain
+    counts. When ``df`` sits at the end of a long row-preserving
+    chain, the counts aggregate otherwise re-evaluates that whole
+    chain just to read the domain column; passing the underlying
+    table (projected to the domain column) computes identical counts
+    from a plain scan. The caller asserts row parity.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("_dc"))
+    counts = (counts_df if counts_df is not None else df).groupBy(
+        domain_col
+    ).agg(F.count("*").alias("_dc"))
     mn = counts.agg(F.min("_dc").alias("_dcmin"))
     ratio = F.col("_dcmin") / F.col("_dc")
     # exponent 0.5 routes through sqrt: IEEE 754 requires sqrt (and /)

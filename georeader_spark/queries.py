@@ -3517,8 +3517,26 @@ def q_text_stats(spark, sf_dir):
     )
     packed = TD.pack_sequences(rep, budget=512)
     eval_docs = docs.where(TD.hash_split_col(F.col("doc_id")) == "test")
-    decon = TD.decontaminate(packed, eval_docs, n=3)
-    samp = TD.sample_by_domain(decon, "lang", "doc_id", alpha=0.5)
+    # decontamination in its join shape (traindata.contaminated_ids —
+    # pytest-pinned equal to the intersect shape): the per-row
+    # array_intersect probe against the ~10k-gram eval array was the
+    # leg's hot spot; the broadcast hash join probes in O(1) per gram.
+    # Grams come from the RAW docs (same doc_id/text), not the packed
+    # chain, so the gram explode doesn't re-evaluate the chain.
+    cids = TD.contaminated_ids(docs, eval_docs, n=3)
+    decon = (
+        packed.join(cids, "doc_id", "left")
+        .withColumn(
+            "eval_hits", F.coalesce(F.col("eval_hits"), F.lit(0)).cast("long")
+        )
+        .withColumn("contaminated", F.col("eval_hits") >= F.lit(1))
+    )
+    # counts_df: every stage from quality_score_staged through decon is
+    # row-preserving, so per-lang counts over the raw docs are identical
+    # — without this the counts aggregate re-evaluates the whole chain
+    samp = TD.sample_by_domain(
+        decon, "lang", "doc_id", alpha=0.5, counts_df=docs.select("lang")
+    )
     es = duplicated_span_stats(docs, length=30).select(
         "doc_id",
         F.col("n_dup_grams").alias("es_dup_grams"),

@@ -61,15 +61,48 @@ def audio_samples(media_id: int, n: int) -> np.ndarray:
     return (u - 32768).astype(np.int16)
 
 
-def synth_media(spark: SparkSession, n_rows: int, n_partitions: int | None = None) -> DataFrame:
+def synth_media(
+    spark: SparkSession, n_rows: int, n_partitions: int | None = None,
+    payload: bool = True,
+) -> DataFrame:
     """Deterministic media table with REAL payloads where the format
     allows: image rows carry a real PGM (P5) wrapping the md5 pixel
     field, audio rows a real PCM WAV of closed-form samples, video
     rows the marked fake (codec formats need libraries this container
     lacks). Generated executor-side in Arrow batches — payload bytes
-    never route through the driver."""
+    never route through the driver.
+
+    ``payload=False`` emits the same metadata columns with an empty
+    payload, entirely as JVM expressions (no Python stage): the shape
+    for consumers that only read (media_id, kind, n_frames, ...) —
+    e.g. frame sampling — where synthesizing megapixel md5 fields per
+    row is pure waste and mapInPandas' opacity would defeat column
+    pruning anyway (guide §4: prefer built-ins; pass only what the
+    function needs)."""
     if n_partitions is None:
         n_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    if not payload:
+        mid = F.col("id")
+        kind = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (mid % 3).cast("int") + 1,
+        )
+        return spark.range(0, n_rows, 1, n_partitions).select(
+            mid.alias("media_id"),
+            kind.alias("kind"),
+            ((mid * 31 % 5) * 64 + 64).cast("int").alias("width"),
+            ((mid * 17 % 5) * 64 + 64).cast("int").alias("height"),
+            F.when((mid % 3) == 2, (mid % 24) + 8)
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("n_frames"),
+            F.when((mid % 3) == 1, F.lit(AUDIO_RATE))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("sample_rate"),
+            F.lit(b"").alias("payload"),
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

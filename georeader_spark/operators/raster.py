@@ -40,10 +40,18 @@ def synth_raster(
     """Deterministic synthetic raster in long form: value =
     pmod((band * H * W + row * W + col) * mult, mod) as double.
     Pure expressions over range() — reproducible in DuckDB SQL for the
-    oracle, and scale-free."""
+    oracle, and scale-free.
+
+    Partitioning derives from the cell count (~10 MB of long-form rows
+    per map task), not a flat cores multiple: a 12k-cell bench raster
+    in 32 range partitions fed 96-map x 64-reduce shuffles whose
+    M x R block count (guide §2.2) dominated every downstream groupBy;
+    giant rasters still fan out, capped at 4x parallelism."""
     n = height * width * bands
     if n_partitions is None:
-        n_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        n_partitions = min(
+            max(n // 262144, 1), 4 * spark.sparkContext.defaultParallelism
+        )
     df = spark.range(0, n, 1, n_partitions)
     idx = F.col("id")
     band = F.floor(idx / F.lit(height * width)).cast("int")

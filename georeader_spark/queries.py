@@ -1788,7 +1788,10 @@ def q_frame_sample(spark, sf_dir):
     index of each video (sequence + explode)."""
     from .operators.multimodal import frame_sample, synth_media
 
-    media = synth_media(spark, 3000)
+    # metadata-only media: frame sampling reads (media_id, kind,
+    # n_frames) — the payload=False path is pure JVM expressions, so
+    # the plan has no Python stage and no wasted payload synthesis
+    media = synth_media(spark, 3000, payload=False)
     return frame_sample(media, every_n=8)
 
 

@@ -46,13 +46,19 @@ def _bigrams(tok_col):
 
 
 def train_bigram_lm(
-    docs: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, int]:
+    docs: DataFrame, text_col: str = "text", lazy_v: bool = False
+) -> tuple[DataFrame, DataFrame, "int | DataFrame"]:
     """Train on ``docs`` → (bigram counts, context counts, vocab size).
 
     Returns ``(c2: (gram, c2), c1: (ctx, c1), v)`` — c1 counts bigrams
     per context word (the conditional denominator), v is the distinct
     token count of the training slice (one small agg job).
+
+    ``lazy_v=True`` returns v as a 1-row DataFrame ``(_v)`` instead of
+    collecting it eagerly: :func:`perplexity` cross-joins it broadcast,
+    so the vocabulary count rides the scoring job instead of costing a
+    separate eager action per pipeline build (0.5 * v is dyadic-exact,
+    so the smoothed denominator is bit-identical either way).
     """
     toks = docs.select(_tokens(F.col(text_col)).alias("_toks"))
     grams = toks.select(F.explode(_bigrams(F.col("_toks"))).alias("gram"))
@@ -67,19 +73,19 @@ def train_bigram_lm(
         .groupBy("ctx")
         .agg(F.sum("c2").alias("c1"))
     )
-    v = (
-        toks.select(F.explode("_toks").alias("t"))
-        .agg(F.count_distinct("t"))
-        .first()[0]
+    vdf = toks.select(F.explode("_toks").alias("t")).agg(
+        F.count_distinct("t").alias("_v")
     )
-    return c2, c1, int(v)
+    if lazy_v:
+        return c2, c1, vdf
+    return c2, c1, int(vdf.first()[0])
 
 
 def perplexity(
     docs: DataFrame,
     c2: DataFrame,
     c1: DataFrame,
-    v: int,
+    v: "int | DataFrame",
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 0.5,
@@ -90,12 +96,20 @@ def perplexity(
     Returns ``(id_col, n_bigrams, ppl)``; documents with fewer than two
     tokens get ``ppl`` NULL. Both model tables broadcast — the corpus
     side never shuffles (one explode, two broadcast joins, one partial
-    mean back to doc granularity).
+    mean back to doc granularity). ``v`` may be the collected int or
+    the lazy 1-row ``(_v)`` DataFrame from ``train_bigram_lm(...,
+    lazy_v=True)`` — the smoothed denominator is bit-identical (0.5*v
+    is a dyadic-exact product in both forms).
     """
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
     ex = toks.select(
         id_col, F.explode_outer(_bigrams(F.col("_toks"))).alias("gram")
     ).withColumn("ctx", F.split(F.col("gram"), " ")[0])
+    if isinstance(v, DataFrame):
+        ex = ex.crossJoin(F.broadcast(v))
+        kv = F.lit(k) * F.col("_v")
+    else:
+        kv = F.lit(k * v)
     scored = (
         ex.join(F.broadcast(c2), "gram", "left")
         .join(F.broadcast(c1), "ctx", "left")
@@ -105,7 +119,7 @@ def perplexity(
                 F.col("gram").isNotNull(),
                 F.log(
                     (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + kv)
                 ),
             ).alias("logp"),
             F.when(

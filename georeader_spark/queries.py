@@ -3557,7 +3557,7 @@ def q_text_stats(spark, sf_dir):
     from .operators.lm import perplexity
 
     train_docs = docs.where(TD.hash_split_col(F.col("doc_id")) == "train")
-    c2, c1, v = train_bigram_lm(train_docs)
+    c2, c1, v = train_bigram_lm(train_docs, lazy_v=True)
     lm = perplexity(docs, c2, c1, v).select(
         "doc_id",
         F.col("n_bigrams").alias("lm_bigrams"),
@@ -4157,8 +4157,32 @@ def skew_join_agg(spark, sf_dir, amplify: int = 8, payload: bool = False,
     facts, dim = _skew_fixture(spark, sf_dir, amplify=amplify, payload=payload)
     if facts_df is not None:
         facts = facts_df
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    hot_threshold = max(2000, (n_events * amplify) // 100)
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        hot_threshold = max(2000, (n_events * amplify) // 100)
+    elif salted and hot_keys is None:
+        # detection on the UN-amplified source: every event contributes
+        # exactly `amplify` fact rows with the same cell, so
+        # count_facts(cell) = amplify * count_events(cell) and the hot
+        # set is identical — one tiny aggregate over the raw events
+        # (which also yields n_events) instead of a count pass over the
+        # exploded table plus a separate count job for the threshold
+        cell_expr = (
+            F.when(F.col("event_id") % 2 == 0, F.lit(0).cast("long"))
+            .otherwise((F.col("event_id") % 1000).cast("long"))
+        )
+        cell_counts = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(cell_expr.alias("cell")).count().collect()
+        )
+        n_events = sum(r["count"] for r in cell_counts)
+        hot_threshold = max(2000, (n_events * amplify) // 100)
+        hot_keys = [
+            r["cell"] for r in cell_counts
+            if r["count"] * amplify > hot_threshold
+        ]
+    else:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        hot_threshold = max(2000, (n_events * amplify) // 100)
     if salted:
         joined = salted_join(
             facts, dim, "cell", hot_threshold=hot_threshold,
@@ -5080,16 +5104,34 @@ SELECT 'rollup' AS part, cell_parent AS k, n FROM ({Q_CELL_ROLLUP_SQL}) r
 def q_pip_all(spark, sf_dir):
     """PIP join through BOTH refine paths (Arrow winding-number UDF +
     JVM half-plane exprs) as tagged row unions, plus the per-polygon
-    count aggregate — one gated query for the whole pip_join surface."""
-    rows = q_pip_rows_both(spark, sf_dir).select(
-        "impl", F.col("event_id").alias("a"), F.col("poly_id").cast("long").alias("b")
+    count aggregate — one gated query for the whole pip_join surface.
+
+    The exprs-path matches materialize once (eager localCheckpoint)
+    and feed BOTH the 'exprs' row leg and the count aggregate: the
+    former shape executed a third full PIP join (UDF-refined, the
+    slow path) just to count rows that the exprs leg had already
+    produced — the match set is identical by the both-paths gate."""
+    udf_rows = q_pip_rows(spark, sf_dir).select(
+        F.lit("udf").alias("impl"),
+        F.col("event_id").alias("a"),
+        F.col("poly_id").cast("long").alias("b"),
     )
-    counts = q_pip_count(spark, sf_dir).select(
-        F.lit("count").alias("impl"),
-        F.col("poly_id").cast("long").alias("a"),
-        F.col("n").alias("b"),
+    ex = q_pip_rows_exprs(spark, sf_dir).localCheckpoint(eager=True)
+    exprs_rows = ex.select(
+        F.lit("exprs").alias("impl"),
+        F.col("event_id").alias("a"),
+        F.col("poly_id").cast("long").alias("b"),
     )
-    return rows.unionByName(counts)
+    counts = (
+        ex.groupBy("poly_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("count").alias("impl"),
+            F.col("poly_id").cast("long").alias("a"),
+            F.col("n").alias("b"),
+        )
+    )
+    return udf_rows.unionByName(exprs_rows).unionByName(counts)
 
 
 Q_PIP_ALL_SQL = _pip_sql_body() + """

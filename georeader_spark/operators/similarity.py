@@ -935,16 +935,20 @@ def semantic_dedup(
     droppers = (
         a.join(b, "cluster")
         .where(F.col("_ida") != F.col("_idb"))
+        # cheap priority comparison BEFORE the 64-element interpreted
+        # dot-product fold: it halves the pairs that ever evaluate dab
+        # (filters merge left-to-right, so written order is evaluation
+        # order) — same surviving rows, same arithmetic
+        .where(
+            (F.col("_prib") < F.col("_pria"))
+            | ((F.col("_prib") == F.col("_pria"))
+               & (F.col("_idb") < F.col("_ida")))
+        )
         .withColumn("_dab", dab)
         .where(
             (F.col("_dab") > 0)
             & (F.col("_dab") * F.col("_dab")
                >= F.lit(t2) * F.col("_n2a") * F.col("_n2b"))
-        )
-        .where(
-            (F.col("_prib") < F.col("_pria"))
-            | ((F.col("_prib") == F.col("_pria"))
-               & (F.col("_idb") < F.col("_ida")))
         )
         .groupBy("_ida")
         .agg(

@@ -259,9 +259,12 @@ def lloyd_train_multi(
     partition layout, so per-partition partial-aggregation order (and
     with it every centroid bit) is unchanged.
     """
+    # eager=False: the seed job below computes every partition anyway
+    # (TakeOrdered / full window shuffle), so it materializes the
+    # checkpoint as a side effect instead of paying a dedicated job
     sliced = sliced.select(
         "grp", F.col("vec").cast("array<double>").alias("vec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     hashed = sliced.withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
     if n_groups == 1:
         # single group: the IVF caller passes grp = lit(0), which
@@ -736,7 +739,7 @@ def ivfpq_build(
     ).select(
         vec_id, F.col("_ar")["list_id"].alias("list_id"),
         F.col("_ar")["resid"].alias("_r"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     books = pq_train_codebooks(
         resid.select(F.col("_r").alias("embedding")),
         m_subspaces=m_subspaces, n_codes=n_codes, iters=iters,

@@ -4,11 +4,12 @@ regression over feature-hashed embeddings (the CCNet/fastText-style
 
 Training shape (the classic Spark ML pattern): weights live on the
 DRIVER (dim+1 floats), each iteration broadcasts them into one
-``mapInPandas`` pass that emits ONE partial-gradient row per Arrow
-batch; the driver sums the partials and steps. Per iteration the
-cluster moves n_batches × (dim+2) doubles — never rows — and the
-corpus is never collected. 20 iterations = 20 scans; cache the
-featurized input for real runs.
+``mapInPandas`` pass that emits one partial-gradient row per Arrow
+batch, and those partials REDUCE ON THE CLUSTER (posexplode +
+groupBy(pos).sum — map-side partial aggregation) so exactly dim+1
+(pos, sum) rows reach the driver per iteration, independent of batch
+or partition count. The corpus is never collected. 20 iterations = 20
+scans; cache the featurized input for real runs.
 
 Scoring is a pure column expression (sigmoid of a dot product against
 broadcast literal weights) — scan-side, codegen, zero shuffles.
@@ -44,33 +45,50 @@ def train_logreg(
     """Full-batch gradient-descent logistic regression on
     ``(vec_col array<double>[dim], label_col in {0,1})``. Returns
     ``[w_0..w_{dim-1}, bias]``. One distributed pass per iteration;
-    only (dim+2)-wide partial rows cross the wire."""
+    exactly dim+1 summed-gradient rows reach the driver per iteration
+    (cluster-side reduction — never one row per batch)."""
     n = feats.count()
     w = np.zeros(dim + 1, dtype=np.float64)
 
     for _ in range(iters):
-        w_b = w.copy()  # captured by the closure, shipped per task
-
-        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                X = np.stack(pdf[vec_col].to_numpy())
-                y = pdf[label_col].to_numpy(dtype=np.float64)
-                z = X @ w_b[:-1] + w_b[-1]
-                p = 1.0 / (1.0 + np.exp(-z))
-                resid = p - y
-                g = np.concatenate([X.T @ resid, [resid.sum()]])
-                yield pd.DataFrame({"g": [g.tolist()], "cnt": [len(y)]})
-
-        rows = feats.select(vec_col, label_col).mapInPandas(
-            partial, schema="g array<double>, cnt long"
-        ).collect()  # one tiny row per Arrow batch: n_batches x (dim+2)
+        rows = _gradient_terms(feats, w, label_col, vec_col).collect()
         grad = np.zeros(dim + 1)
         for r in rows:
-            grad += np.asarray(r["g"])
+            grad[r["pos"]] = r["v"]
         grad /= n
         grad[:-1] += l2 * w[:-1]
         w -= lr * grad
     return [float(v) for v in w]
+
+
+def _gradient_terms(
+    feats: DataFrame, w: np.ndarray, label_col: str, vec_col: str
+) -> DataFrame:
+    """One iteration's summed gradient as a dim+1-row DataFrame
+    ``(pos, v)``: a mapInPandas pass emits one partial row per Arrow
+    batch, then posexplode + groupBy(pos).sum reduces ON THE CLUSTER
+    with map-side partials — at 100 TB the driver receives dim+1 rows,
+    not one per batch (plan- and row-count-pinned in tests)."""
+    w_b = w.copy()  # captured by the closure, shipped per task
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy())
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            z = X @ w_b[:-1] + w_b[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            resid = p - y
+            g = np.concatenate([X.T @ resid, [resid.sum()]])
+            yield pd.DataFrame({"g": [g.tolist()]})
+
+    partials = feats.select(vec_col, label_col).mapInPandas(
+        partial, schema="g array<double>"
+    )
+    return (
+        partials.select(F.posexplode("g").alias("pos", "gv"))
+        .groupBy("pos")
+        .agg(F.sum("gv").alias("v"))
+    )
 
 
 def score_col(weights: List[float], vec: Column) -> Column:

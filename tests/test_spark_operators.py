@@ -1470,6 +1470,29 @@ class TestQualityClassifier:
         # magnitudes, so the signal exists)
         assert acc > 0.8, acc
 
+    def test_gradient_reduces_on_cluster(self, spark, sf_dir):
+        """The per-iteration gradient is reduced cluster-side: the
+        driver receives exactly dim+1 (pos, sum) rows regardless of
+        partition/batch count, and the plan has a partial HashAggregate
+        above the MapInPandas node (no per-batch rows to the driver)."""
+        import numpy as np
+
+        from georeader_spark.operators.classifier import _gradient_terms
+        from georeader_spark.operators.embed import hash_embed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = (
+            hash_embed(docs, dim=16)
+            .withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+            .repartition(16)  # many batches; the collect size must not grow
+        )
+        g = _gradient_terms(feats, np.zeros(17), "label", "embedding")
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan, plan
+        assert plan.index("HashAggregate") < plan.index("MapInPandas"), plan
+        rows = g.collect()
+        assert len(rows) == 17, len(rows)
+
     def test_score_col_is_scan_side(self, spark, sf_dir):
         from georeader_spark.operators.classifier import score_col
         from georeader_spark.operators.embed import hash_embed

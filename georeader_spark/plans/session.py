@@ -48,6 +48,15 @@ def get_spark(
         .master(master)
         .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Always use the sort-based (Unsafe) shuffle writer. SQL
+        # exchanges carry no map-side combiner at the shuffle layer, so
+        # with <= 200 reduce partitions Spark picks the bypass-merge
+        # writer — R files per MAP TASK, i.e. an M x R file-creation
+        # tax that dominates small shuffles on this filesystem
+        # (measured: a 96-map x 64-reduce groupBy drops 1.64 s ->
+        # 0.38 s). Scale-neutral: past 200 partitions (any production
+        # shuffle) bypass never applies anyway.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -16,8 +16,10 @@ State scale: one (first_id, n_seen) per DISTINCT body. At 10^11 docs
 with ~50% dup rate that is ~10^10 keys sharded over the cluster's
 state stores — the standard RocksDB-backed streaming-dedup deployment
 (Spark's own ``dropDuplicates`` on streams builds the same keyed
-state; this operator additionally emits duplicate counts and survives
-checkpoint restarts without re-emitting, which the tests pin).
+state; this operator additionally TRACKS per-key duplicate counts in
+state (``n_seen`` — not emitted; an update-mode variant could surface
+it) and survives checkpoint restarts without re-emitting, which the
+tests pin).
 """
 
 from __future__ import annotations

@@ -239,8 +239,12 @@ class TestPlanShapes:
         a = R.synth_raster(spark, 1, 50, 60)
         b = R.synth_raster(spark, 2, 50, 60, mult=997777777)
         plan = _plan(R.spatial_mosaic(a.unionByName(b)))
-        # exactly one shuffle for the agg (AQE may add AQEShuffleRead)
-        assert plan.count("Exchange hashpartitioning") == 1
+        # at most one shuffle for the agg (AQE may add AQEShuffleRead);
+        # zero when the data-sized generator partitioning (r6) yields a
+        # single input partition, which already satisfies the agg's
+        # clustering requirement — strictly better than one exchange
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "min_by" in plan
         assert "Window" not in plan
 
 
@@ -521,7 +525,10 @@ class TestNewOpPlanShapes:
         src = R.synth_raster(spark, 1, 40, 40, bands=3)
         mask = R.valid_footprint_mask(src)
         plan = mask._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1
+        # at most one exchange; zero when the data-sized generator
+        # partitioning (r6) yields a single input partition, which
+        # already satisfies the agg's clustering requirement
+        assert plan.count("Exchange") <= 1
         assert "BatchEvalPython" not in plan
 
     def test_pq_adc_search_has_partial_rank(self, spark, sf_dir):

@@ -250,11 +250,11 @@ def lloyd_train_multi(
     reaches the driver except the n_groups * n_clusters * dim centroid
     table itself.
 
-    The input is materialized ONCE (eager localCheckpoint) before the
-    seed job: the trainer runs 1 + iters sequential actions over the
-    same rows, and without the cut every action re-evaluates the whole
-    upstream plan (parquet scan, normalization, and for IVF-PQ the
-    Arrow residual encoder). Iterative trainers caching their input is
+    The input is materialized ONCE (localCheckpoint; lazily, so the
+    seed job's full pass persists it as a side effect): the trainer
+    runs 1 + iters sequential actions over the same rows, and without
+    the cut every action re-evaluates the whole upstream plan (parquet
+    scan, normalization, and for IVF-PQ the Arrow residual encoder). Iterative trainers caching their input is
     the standard Spark ML shape; the checkpoint preserves the computed
     partition layout, so per-partition partial-aggregation order (and
     with it every centroid bit) is unchanged.
@@ -731,7 +731,8 @@ def ivfpq_build(
     cents = ivf_train_centroids(norm, n_lists=n_lists, iters=iters, vec_col="_v")
     # fused Arrow assign + residual: no O(n_lists * dim) centroid
     # literals in the plan (survives 64k-list indexes). Materialized
-    # once (eager localCheckpoint): residuals feed the codebook
+    # once (lazy localCheckpoint — the codebook trainer's first pass
+    # persists it): residuals feed the codebook
     # trainer, the encoder AND the search action — without the cut
     # each of those re-runs the scan + normalize + Arrow assignment.
     resid = norm.withColumn(

@@ -133,6 +133,12 @@ def knn_join(
     best = None
     resolved = None
     prev_r, r = -1, 1
+    # pending-set size tracked driver-side: emptiness after each round
+    # is (n_pending - n_done == 0), read off the same tiny per-round
+    # aggregate that drives resolution — the former dedicated
+    # `isEmpty()` probe job and the last round's pending re-checkpoint
+    # are gone (the counts are exact, so the loop's path is unchanged).
+    n_pending = pending.count()
     for _ in range(max_rounds):
         # annulus offsets: cells at Chebyshev distance (prev_r, r] — a
         # broadcast DataFrame, NOT an array literal (at r=64 that would
@@ -168,19 +174,23 @@ def knn_join(
         done_ids = stats.where(
             (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(bound))
         ).select("_q_id")
+        # one tiny action per round: |done| over the checkpointed best
+        # (replaces the former per-round isEmpty() job on pending)
+        n_done = done_ids.count()
         newly = best.join(done_ids, "_q_id", "leftsemi")
         resolved = newly if resolved is None else resolved.unionByName(newly)
+        n_pending -= n_done
+        if n_pending == 0:
+            pending = None
+            break
         done_renamed = done_ids.withColumnRenamed("_q_id", "_done_id")
         pending = pending.join(
             done_renamed, pending["_q_id"] == F.col("_done_id"), "leftanti"
         ).localCheckpoint(eager=True)
         best = best.join(done_renamed, best["_q_id"] == F.col("_done_id"), "leftanti")
-        if pending.isEmpty():
-            pending = None
-            break
         prev_r, r = r, r * 2
 
-    if pending is not None and not pending.isEmpty():
+    if pending is not None and n_pending > 0:
         # stragglers (empty regions): brute force just those queries
         pairs = pts.crossJoin(
             F.broadcast(pending.select("_q_id", "_qx", "_qy"))

@@ -259,9 +259,10 @@ def lloyd_train_multi(
     partition layout, so per-partition partial-aggregation order (and
     with it every centroid bit) is unchanged.
     """
-    # eager=False: the seed job below computes every partition anyway
-    # (TakeOrdered / full window shuffle), so it materializes the
-    # checkpoint as a side effect instead of paying a dedicated job
+    # eager=False: the first seed-phase job below computes every
+    # partition anyway (TakeOrdered, or the multi-group count), so it
+    # materializes the checkpoint as a side effect instead of paying a
+    # dedicated job
     sliced = sliced.select(
         "grp", F.col("vec").cast("array<double>").alias("vec")
     ).localCheckpoint(eager=False)
@@ -279,13 +280,45 @@ def lloyd_train_multi(
             for i, r in enumerate(rows)
         ]
     else:
+        # Seeds = the n_clusters lowest-hash rows per group. A bare
+        # window shuffles EVERY (grp, vec) row into the sort; xxhash64
+        # is uniform over int64, so rows hashing above a count-derived
+        # threshold cannot be seeds (64x admission margin). One tiny
+        # groupBy-count job (whose full pass also materializes the
+        # checkpoint, like the window used to) replaces the full-corpus
+        # shuffle; the window then sorts ~64 * n_clusters rows per
+        # group. If any group comes up short of the threshold filter
+        # (possible only for degenerate tiny groups), fall back to the
+        # exact full window — both paths return the identical seed set,
+        # so the choice never changes a result bit.
+        counts = {
+            r["grp"]: r["count"]
+            for r in sliced.groupBy("grp").count().collect()
+        }
         w = Window.partitionBy("grp").orderBy("_h")
-        seeds = (
-            hashed.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= n_clusters)
-            .select("grp", "_r", "vec")
-            .collect()
-        )
+
+        def _seed_rows(df):
+            return (
+                df.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= n_clusters)
+                .select("grp", "_r", "vec")
+                .collect()
+            )
+
+        n_min = min(counts.values()) if counts else 0
+        if n_min > 64 * n_clusters:
+            frac = 64.0 * n_clusters / n_min
+            thr = -(2 ** 63) + int(frac * 2.0 ** 64)
+            seeds = _seed_rows(hashed.where(F.col("_h") <= F.lit(thr)))
+            got: dict = {}
+            for r in seeds:
+                got[r["grp"]] = got.get(r["grp"], 0) + 1
+            if any(
+                got.get(g, 0) < min(n_clusters, n) for g, n in counts.items()
+            ):
+                seeds = _seed_rows(hashed)
+        else:
+            seeds = _seed_rows(hashed)
     cents = [[None] * n_clusters for _ in range(n_groups)]
     for r in seeds:
         cents[r["grp"]][r["_r"] - 1] = list(map(float, r["vec"]))

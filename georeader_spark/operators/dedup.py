@@ -208,7 +208,16 @@ def simhash_dedup_pairs(
 
         return text.map(f)
 
-    sh = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    # materialize the (id, simhash) signature table (16 B/doc) before
+    # the self-join: both join sides otherwise re-evaluate the Python
+    # simhash pass over the full corpus (the broadcast build side
+    # cannot share an exchange with the probe side). The broadcast
+    # job's evaluation pass persists the lazy checkpoint as a side
+    # effect; at scale this is also the right shape — signatures are
+    # computed once, documents are never rescanned for the join.
+    sh = docs.select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=False)
     band_width = 64 // n_bands
     mask = (1 << band_width) - 1
     banded = sh.select(

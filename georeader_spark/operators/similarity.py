@@ -135,6 +135,14 @@ def rp_lsh_buckets(
         ).sum(axis=2)  # (n, n_tables)
         return pd.Series(list(b))
 
+    # asNondeterministic: the function IS deterministic, but without
+    # the flag Catalyst's inferred isnotnull(join key) duplicates the
+    # UDF call into a pushed-down Filter — the plan then carries TWO
+    # chained ArrowEvalPython nodes evaluating the identical matmul
+    # (observed in ann_lsh_topk's explain). The flag only blocks the
+    # optimizer from cloning/pushing the call; outputs are unchanged.
+    buckets_udf = buckets_udf.asNondeterministic()
+
     with_b = vectors.withColumn("_buckets", buckets_udf(F.col(vec_col)))
     if n_tables == 1:
         return with_b.withColumn(

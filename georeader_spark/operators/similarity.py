@@ -234,6 +234,7 @@ def lloyd_train_multi(
     n_clusters: int,
     iters: int = 2,
     n_groups: int = 1,
+    materialize: bool = True,
 ) -> list:
     """ONE distributed Lloyd loop that trains ``n_groups`` independent
     codebooks simultaneously (group = PQ subspace or the single IVF
@@ -270,10 +271,17 @@ def lloyd_train_multi(
     # eager=False: the first seed-phase job below computes every
     # partition anyway (TakeOrdered, or the multi-group count), so it
     # materializes the checkpoint as a side effect instead of paying a
-    # dedicated job
+    # dedicated job. materialize=False is for callers whose input is
+    # already a narrow view over a checkpoint (IVF-PQ's per-subspace
+    # slices of the materialized residual table): re-evaluating the
+    # slice per pass is cheaper than storing the same bytes twice, and
+    # a narrow op over checkpointed partitions preserves row order and
+    # partition layout, so every centroid bit is unchanged either way.
     sliced = sliced.select(
         "grp", F.col("vec").cast("array<double>").alias("vec")
-    ).localCheckpoint(eager=False)
+    )
+    if materialize:
+        sliced = sliced.localCheckpoint(eager=False)
     hashed = sliced.withColumn("_h", F.xxhash64(F.col("vec").cast("string")))
     if n_groups == 1:
         # single group: the IVF caller passes grp = lit(0), which
@@ -566,6 +574,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     normalize: bool = True,
     dim: int | None = None,
+    materialize: bool = True,
 ) -> list:
     """Per-subspace codebooks via ONE multi-group Lloyd loop: every
     subspace slice becomes a (grp=subspace, vec) row and
@@ -592,7 +601,8 @@ def pq_train_codebooks(
         ).alias("grp", "vec")
     )
     return lloyd_train_multi(
-        sliced, n_codes, iters=iters, n_groups=m_subspaces
+        sliced, n_codes, iters=iters, n_groups=m_subspaces,
+        materialize=materialize,
     )
 
 
@@ -782,10 +792,13 @@ def ivfpq_build(
         vec_id, F.col("_ar")["list_id"].alias("list_id"),
         F.col("_ar")["resid"].alias("_r"),
     ).localCheckpoint(eager=False)
+    # materialize=False: the subspace slices are a narrow view over the
+    # resid checkpoint just above — re-slicing per trainer pass beats
+    # storing the same residual bytes in a second checkpoint
     books = pq_train_codebooks(
         resid.select(F.col("_r").alias("embedding")),
         m_subspaces=m_subspaces, n_codes=n_codes, iters=iters,
-        normalize=False, dim=len(cents[0]),
+        normalize=False, dim=len(cents[0]), materialize=False,
     )
     codes = pq_encode(
         resid.select(vec_id, "list_id", F.col("_r").alias("embedding")),

@@ -444,22 +444,27 @@ def nearest_centroid_arrow(cents, vec, n_probe: int = 1, grp_col=None):
                 out[mask] = _rank(X[mask], C[gi], cn[gi])[:, 0]
             return pd.Series(out)
 
-        return assign_udf(grp_col, vec)
+        return assign_udf.asNondeterministic()(grp_col, vec)
 
+    # asNondeterministic on the assignment UDFs for the same reason as
+    # rp_lsh_buckets: the functions are deterministic, but a downstream
+    # equi-join on their output infers isnotnull and Catalyst clones the
+    # UDF call into the pushed filter — ann_ivf_topk's plan carried TWO
+    # ArrowEvalPython nodes running the identical corpus assignment.
     if n_probe == 1:
         @F.pandas_udf("int")
         def one_udf(emb: pd.Series) -> pd.Series:
             X = np.asarray(list(emb), dtype=np.float64)
             return pd.Series(_rank(X, C, cn)[:, 0])
 
-        return one_udf(vec)
+        return one_udf.asNondeterministic()(vec)
 
     @F.pandas_udf("array<int>")
     def probe_udf(emb: pd.Series) -> pd.Series:
         X = np.asarray(list(emb), dtype=np.float64)
         return pd.Series(list(_rank(X, C, cn)))
 
-    return probe_udf(vec)
+    return probe_udf.asNondeterministic()(vec)
 
 
 def assign_ivf_list(
